@@ -1,0 +1,162 @@
+"""Byte-identical text-extraction pipeline as Arrow pandas UDFs.
+
+THE per-row invariant (BASELINE.json:15): extracted text per url must be
+byte-identical to the reference pipeline. The normative regexes live here
+in Python ``re`` inside pandas UDFs — never re-expressed as
+``regexp_replace`` — because Java-regex semantics differ on inline-flag
+scoping / VERBOSE / ``$`` details (SURVEY.md §7 "What's hard").
+
+Reference pipeline (per document):
+    payload -> text            (pdfminer at ksrf.py:173-177 / lxml
+                                ``text_content()`` at ksrf.py:111-116,
+                                law_codes.py:517-523)
+    text -> pageNumberPattern.sub('', text)   (ksrf.py:154-159, :178)
+
+Sandbox stand-in (SURVEY.md §2.1 S3, FIXTURES.md §1): the ``html BINARY``
+column is the payload; payload→text is an HTML text_content pass. lxml is
+not available in this container, so ``html_text_content`` is a pure-stdlib
+reimplementation of lxml's ``text_content()`` semantics (concatenation of
+all text nodes, entities resolved); the datagen oracle column is produced
+by the very same function, so the byte-identical contract is exact and
+testable (tests/test_extraction_parity.py).
+
+NOTE on the page-number regex: the reference source compiles
+
+    re.compile(r\"\"\"(?:(?i)\\x0c\\s*\\d+|\\x0c(?=\\s)|\n (?i)\\x0c\\s*$)\"\"\", re.VERBOSE)
+
+(ksrf.py:154-155). On the Pythons the reference targeted, a mid-pattern
+``(?i)`` was promoted to a GLOBAL flag; Python >=3.11 rejects that form
+outright. The compiled program is therefore exactly equivalent to the
+modern spelling below: VERBOSE only strips the literal source whitespace,
+and IGNORECASE is inert (the pattern contains no cased characters).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# --- P5: the text invariant (ksrf.py:154-159) ---------------------------
+
+PAGE_NUMBER_PATTERN = re.compile(r"(?:\x0c\s*\d+|\x0c(?=\s)|\x0c\s*$)", re.IGNORECASE)
+
+
+def del_np_and_page_nums(text: str) -> str:
+    """Plain-Python oracle — reference ``del_NP_and_pageNums`` ksrf.py:158-159."""
+    return PAGE_NUMBER_PATTERN.sub("", text)
+
+
+# --- P7: html -> text (lxml text_content stand-in) -----------------------
+
+
+class _TextContentParser(HTMLParser):
+    """Concatenate every text node, entities resolved — the observable
+    behavior of ``lxml.html.document_fromstring(x).text_content()`` on the
+    synthetic corpus this engine is tested against (ksrf.py:111-116)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+
+    def handle_data(self, data: str) -> None:
+        self.parts.append(data)
+
+
+def html_text_content(markup: str) -> str:
+    p = _TextContentParser()
+    p.feed(markup)
+    p.close()
+    return "".join(p.parts)
+
+
+# --- P9: charset-fallback decode (law_codes.py:96-102 analogue) ----------
+
+
+def decode_payload(payload: bytes) -> str:
+    """utf-8 first; windows-1251 fallback (reference charset recovery,
+    law_codes.py:96-102)."""
+    if payload is None:
+        return None
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("windows-1251")
+
+
+def extract_text(payload: bytes) -> str:
+    """Full reference extraction for one document payload (plain Python)."""
+    if payload is None:
+        return None
+    return del_np_and_page_nums(html_text_content(decode_payload(payload)))
+
+
+# --- vectorized Arrow UDFs (the engine's hot path) -----------------------
+
+
+@F.pandas_udf(StringType())
+def strip_page_numbers_udf(texts: pd.Series) -> pd.Series:
+    sub = PAGE_NUMBER_PATTERN.sub
+    return texts.map(lambda t: None if t is None else sub("", t))
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(payloads: pd.Series) -> pd.Series:
+    return payloads.map(extract_text)
+
+
+def extracted_text(html_col: Column | str) -> Column:
+    """Column expr: ``html BINARY`` payload → byte-identical decision text."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return extract_text_udf(c)
+
+
+# --- P10/P11: Russian date handling (law_codes.py:35-49,:734-739) --------
+
+# genitive month name -> two-digit month, law_codes.py:36-49
+MONTH_MAP = {
+    "января": "01",
+    "февраля": "02",
+    "марта": "03",
+    "апреля": "04",
+    "мая": "05",
+    "июня": "06",
+    "июля": "07",
+    "августа": "08",
+    "сентября": "09",
+    "октября": "10",
+    "ноября": "11",
+    "декабря": "12",
+}
+
+DATE_PATTERN = r"\d\d\.\d\d\.\d{4}"  # law_codes.py:35
+
+# law_codes.py:770 sentinel for a redaction that never took effect
+NEVER_EFFECTIVE = "не_действовала"
+
+
+def month_number(month_name: Column | str) -> Column:
+    """JVM-side month-name map (literal create_map + element_at)."""
+    c = F.col(month_name) if isinstance(month_name, str) else month_name
+    pairs: list[Column] = []
+    for k, v in MONTH_MAP.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.element_at(F.create_map(*pairs), F.lower(c))
+
+
+def extract_date(col: Column | str) -> Column:
+    """First ``DD.MM.YYYY`` occurrence (law_codes.py:766-770)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, DATE_PATTERN, 0)
+
+
+def release_date_from_russian(day: Column, month_name: Column, year: Column) -> Column:
+    """law_codes.py:734-739 — build 'DD.MM.YYYY' from Russian long date."""
+    return F.concat_ws(
+        ".", F.lpad(day.cast("string"), 2, "0"), month_number(month_name), year.cast("string")
+    )

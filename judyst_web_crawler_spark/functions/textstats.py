@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Column functions (JVM-side,
+codegen'd); the only pandas UDF is the rolling-hash fingerprint, which
+has no built-in equivalent. Each operator here has a ``queries()`` entry
+over the driver ``documents`` table with a DuckDB oracle
+(__spark_entry__.py) — language ID, quality scoring, token counting,
+fingerprinting are the text-side of SURVEY §2's engine additions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# A small, fixed stopword list (ru + en) — deterministic, public words.
+STOPWORDS = [
+    "и", "в", "не", "на", "что", "с", "по", "как", "к", "из",
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text counts 0."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-ish proxy: count word pieces + digit runs + punctuation
+    marks separately (regex segmentation, JVM-side)."""
+    t = _c(text)
+    words = F.size(F.filter(F.split(t, r"[^\p{L}\p{N}]+"), lambda x: x != ""))
+    puncts = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!?()«»\"']", ""))
+    return (words + puncts).cast("int")
+
+
+def cyrillic_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    cyr = F.length(t) - F.length(F.regexp_replace(t, "[а-яА-ЯёЁ]", ""))
+    return (cyr / F.greatest(F.length(t), F.lit(1))).alias("cyr_ratio")
+
+
+def latin_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    lat = F.length(t) - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))
+    return lat / F.greatest(F.length(t), F.lit(1))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Character n-gram-free heuristic language ID: dominant script wins.
+
+    (A trigram model would be the production path; the script heuristic
+    is deterministic, oracle-checkable, and right for ru/en corpora.)
+    """
+    cyr = cyrillic_ratio(text)
+    lat = latin_ratio(text)
+    return (
+        F.when(cyr >= 0.25, F.lit("ru"))
+        .when(lat >= 0.25, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    t = F.lower(_c(text))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    p = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!?()«»\"'-]", ""))
+    return p / F.greatest(F.length(t), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """[0,1] heuristic quality: long enough, not punctuation soup, has
+    stopwords (natural language signal). Weights fixed + documented."""
+    t = _c(text)
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 4)
+    sw_score = F.least(stopword_ratio(t) * 5, F.lit(1.0))
+    return F.round(len_score * 0.4 + punct_penalty * 0.3 + sw_score * 0.3, 6)
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of lowercase whitespace-collapsed text —
+    the exact-dedup key (hash-groupBy dedup)."""
+    t = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.md5(F.encode(t, "UTF-8"))
+
+
+_ROLL_BASE = 1000003
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_hash_py(text: str) -> int:
+    """Polynomial rolling hash over whitespace tokens (deterministic,
+    order-sensitive document fingerprint). Plain-Python oracle."""
+    if text is None:
+        return None
+    h = 0
+    for tok in text.split():
+        th = 0
+        for ch in tok:
+            th = (th * 31 + ord(ch)) % _ROLL_MOD
+        h = (h * _ROLL_BASE + th + 1) % _ROLL_MOD
+    return h
+
+
+@F.pandas_udf(LongType())
+def rolling_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    # values are < 2^61 so they always fit in a signed int64
+    return texts.map(lambda t: None if t is None else rolling_hash_py(t))

@@ -1,0 +1,301 @@
+"""Near-duplicate detection for training-data pipelines.
+
+Four families, each structured for 100 TB scale:
+
+- exact:        hash-groupBy on a normalized fingerprint (1 shuffle).
+- MinHash+LSH:  shingle → k minhashes (vectorized numpy in mapInPandas)
+                → band buckets → self-join on (band, bucket) → exact
+                Jaccard verify on candidates only. The LSH band join is
+                the only shuffle that touches pairs, and it only ever
+                materializes CANDIDATE pairs, never n².
+- SimHash:      64-bit signature; Hamming-≤k retrieval via the block
+                technique (split signature into k+1 blocks; true near-dups
+                must collide on ≥1 block) → verify popcount on candidates.
+- n-gram Jaccard: the exact verifier, also usable standalone on small sets.
+
+All signatures are seeded + deterministic (fixed hash mixing constants);
+no wall-clock, no RNG state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from judyst_web_crawler_spark.functions.textstats import normalized_fingerprint
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-equal (normalized) documents: fingerprint, count,
+    keep groups >1. One shuffle on the fingerprint."""
+    fp = df.select(F.col(id_col), normalized_fingerprint(text_col).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint group."""
+    fp = df.withColumn("fingerprint", normalized_fingerprint(text_col))
+    w_min = F.min_by(F.col(id_col), F.col(id_col))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, on=["fingerprint", id_col], how="inner").drop("fingerprint")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    """Character n-gram shingles → uint64 hashes (FNV-1a, deterministic)."""
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    data = text.lower().encode("utf-8", "ignore")
+    if len(data) < n:
+        data = data + b" " * (n - len(data))
+    out = np.empty(len(data) - n + 1, dtype=np.uint64)
+    h0 = np.uint64(0xCBF29CE484222325)
+    prime = np.uint64(0x100000001B3)
+    # vectorized FNV over sliding windows via cumulative trick is not
+    # exact; loop per window start but byte ops vectorized per window
+    arr = np.frombuffer(data, dtype=np.uint8)
+    for i in range(len(out)):
+        h = h0
+        for b in arr[i : i + n]:
+            h = (h ^ np.uint64(b)) * prime
+        out[i] = h
+    return np.unique(out)
+
+
+def _shingle_hashes_fast(text: str, n: int = 5) -> np.ndarray:
+    """Vectorized polynomial shingle hashes (the production path; the
+    FNV loop above is kept as the readable spec)."""
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    data = text.lower().encode("utf-8", "ignore")
+    if len(data) < n:
+        data = data + b" " * (n - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(len(arr) - n + 1, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for j in range(n):  # n is small (5): n vectorized passes, no per-row loop
+        h = h * base + arr[j : j + len(h)]
+    # finalize: splitmix64 avalanche
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return np.unique(h)
+
+
+def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """k (a,b) pairs from a seeded splitmix sequence — deterministic."""
+    state = np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64))
+    vals = []
+    s = int(state)
+    for _ in range(2 * k):
+        s = (s + 0x9E3779B97F4A7C15) % (1 << 64)
+        z = s
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        z = z ^ (z >> 31)
+        vals.append(z % _MERSENNE)
+    a = np.array([v | 1 for v in vals[:k]], dtype=np.uint64)  # odd, nonzero
+    b = np.array(vals[k:], dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature ARRAY<BIGINT>) — k minhashes per document, computed
+    batch-vectorized in mapInPandas (Arrow both ways, no per-row Python
+    beyond the shingle pass)."""
+    a, b = _minhash_params(k, seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes_fast(t, shingle_n)
+                if len(sh) == 0:
+                    sig = np.full(k, _MERSENNE, dtype=np.uint64)
+                else:
+                    # (a*x+b) mod p for all k perms × all shingles
+                    prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+                    sig = prod.min(axis=1)
+                ids.append(i)
+                sigs.append(sig.astype(np.int64))
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    out_schema = f"{id_col} long, signature array<long>"
+    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs
+    (id_a < id_b). bands*rows_per_band must equal the signature length."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    docs_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    docs_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    joined = pairs.join(docs_a, "id_a").join(docs_b, "id_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jac = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                sa = _shingle_hashes_fast(ta, shingle_n)
+                sb = _shingle_hashes_fast(tb, shingle_n)
+                if len(sa) == 0 and len(sb) == 0:
+                    jac.append(1.0)
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                jac.append(inter / union if union else 0.0)
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac})
+
+    out = joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed)
+    pairs = minhash_lsh_candidates(sigs, id_col, bands=bands, rows_per_band=k // bands)
+    return jaccard_verify(pairs, df, id_col, text_col, shingle_n, threshold)
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 4
+) -> DataFrame:
+    """64-bit SimHash over shingle hashes (unweighted), vectorized."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes_fast(t, shingle_n)
+                if len(sh) == 0:
+                    sigs.append(0)
+                else:
+                    bits = (sh[:, None] & bitmask) != 0  # (n_shingles, 64)
+                    votes = bits.sum(axis=0) * 2 - len(sh)
+                    sig = np.uint64(0)
+                    sig = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+                    sigs.append(int(sig.astype(np.int64)))
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(compute, f"{id_col} long, simhash long")
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """Block-technique retrieval: any pair within Hamming distance k must
+    agree on ≥1 of k+1 disjoint blocks (pigeonhole) → join per block,
+    verify popcount on candidates only."""
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda b: F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ),
+            )
+        ).alias("block", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

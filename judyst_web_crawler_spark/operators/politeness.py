@@ -1,0 +1,92 @@
+"""Per-host politeness budgets + robots rules inside salted host groups.
+
+The reference is single-threaded, so its implicit politeness is "one
+request in flight globally" (SURVEY §2.8). The engine makes the policy
+explicit and distributed (north_star BASELINE.json:6):
+
+- robots.txt rules live in a small per-host table — broadcast-joined
+  (Catalyst picks BHJ; the table is tiny relative to the frontier);
+- the fetch budget is per host per wave, enforced by rank-within-group;
+- skewed giant hosts are split into ``n_salts`` deterministic shards
+  (``pmod(xxhash64(url), n_salts)``), and the host budget is pre-split
+  across shards (integer division + remainder to the low shards) so the
+  global per-host budget holds EXACTLY even though no single task ever
+  sees the whole host (SURVEY §7 "Politeness × salting").
+
+Ordering parity: with n_salts=1 and budget=1 on a single host, emission
+order degenerates to the reference's sequential order
+(page_seq, intra_page_seq) — ksrf.py:107-110; tests/test_politeness_order.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from judyst_web_crawler_spark.functions.canonical import host_salt, url_path
+
+PRIORITY_COLS = ["depth", "page_seq", "intra_page_seq"]
+
+
+def priority_order() -> list[Column]:
+    """The reference crawl order as a deterministic sort key (O1)."""
+    return [F.col(c).asc_nulls_last() for c in PRIORITY_COLS]
+
+
+def apply_robots(frontier: DataFrame, politeness: DataFrame) -> DataFrame:
+    """Keep URLs allowed by the host's robots rules.
+
+    allow-prefix must match AND no deny-prefix may match; hosts missing
+    from the politeness table are allowed (crawler default-permit, same
+    effective behavior as the reference which has no robots handling —
+    SURVEY §2.8 — but with the hook in place).
+    """
+    path = url_path("url").alias("_path")
+    joined = frontier.withColumn("_path", path).join(
+        F.broadcast(politeness.select("host", "robots_allow", "robots_deny")),
+        on="host",
+        how="left",
+    )
+    starts = lambda p: F.startswith(F.col("_path"), p)  # noqa: E731
+    allowed = F.col("robots_allow").isNull() | F.exists("robots_allow", starts)
+    denied = F.col("robots_deny").isNotNull() & F.exists("robots_deny", starts)
+    return joined.filter(allowed & ~denied).drop("_path", "robots_allow", "robots_deny")
+
+
+def budget_topk(
+    frontier: DataFrame,
+    politeness: DataFrame | None = None,
+    default_budget: int = 1,
+    n_salts: int = 1,
+) -> DataFrame:
+    """Select ≤budget URLs per host for this wave, best-priority first.
+
+    n_salts=1: exact global top-k per host (one window shuffle on host).
+    n_salts>1: per-(host,salt) top-k with the budget pre-split across
+    salts — total per host never exceeds the budget, and skew from giant
+    hosts is spread over n_salts tasks.
+    """
+    df = frontier
+    if politeness is not None:
+        df = df.join(F.broadcast(politeness.select("host", "budget")), on="host", how="left")
+        budget = F.coalesce(F.col("budget"), F.lit(default_budget))
+    else:
+        budget = F.lit(default_budget)
+
+    if n_salts <= 1:
+        w = Window.partitionBy("host").orderBy(*priority_order())
+        out = df.withColumn("_rank", F.row_number().over(w)).filter(F.col("_rank") <= budget)
+    else:
+        df = df.withColumn("_salt", host_salt("url", n_salts))
+        # budget share for shard s: budget//n + (1 if s < budget%n else 0)
+        share = (budget / n_salts).cast("int") + F.when(
+            F.col("_salt") < budget % n_salts, F.lit(1)
+        ).otherwise(F.lit(0))
+        w = Window.partitionBy("host", "_salt").orderBy(*priority_order())
+        out = (
+            df.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= share)
+            .drop("_salt")
+        )
+    out = out.drop("_rank")
+    return out.drop("budget") if politeness is not None else out

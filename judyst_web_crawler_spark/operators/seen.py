@@ -1,0 +1,137 @@
+"""Distributed URL-seen filter: sharded-bloom prefilter + exact anti-join.
+
+Two-tier design (SURVEY.md §4 custom-op 1, north_star BASELINE.json:6):
+
+- TIER 1 (performance): a bloom filter over ``xxhash64(canonical_key)``
+  built from per-partition numpy bit-array shards (``mapInPandas``),
+  OR-merged (associative + deterministic) and broadcast back. Candidates
+  the bloom has definitely NOT seen skip the join entirely.
+- TIER 2 (truth): candidates the bloom *might* have seen go through an
+  exact LEFT ANTI JOIN against the ``seen`` table — bloom false positives
+  can therefore never drop a URL (exact URL-seen parity, BASELINE.json:14).
+
+At 10^10 URLs the seen table is hash-range partitioned on ``key_hash``;
+the bloom shards follow the same ranges so each executor ORs only its
+range before the (small) cross-range merge — the sandbox implementation
+merges partition shards on the driver, which is the same associative
+reduction at local scale.
+
+Hashing: Kirsch-Mitzenmacher double hashing from the single 64-bit key
+(g_i = h_lo + i*h_hi mod n_bits) — k derived probes, no extra hash passes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _probe_positions(hashes: np.ndarray, n_bits: int, k: int) -> Iterator[np.ndarray]:
+    h = hashes.astype(np.int64).view(np.uint64)
+    lo = h & np.uint64(0xFFFFFFFF)
+    hi = (h >> np.uint64(32)) & np.uint64(0xFFFFFFFF)
+    for i in range(k):
+        yield ((lo + np.uint64(i) * hi) % np.uint64(n_bits)).astype(np.uint64)
+
+
+def _empty_bits(n_bits: int) -> np.ndarray:
+    return np.zeros(n_bits // 8, dtype=np.uint8)
+
+
+def _set_bits(bits: np.ndarray, positions: np.ndarray) -> None:
+    np.bitwise_or.at(bits, (positions >> np.uint64(3)).astype(np.int64), (np.uint8(1) << (positions & np.uint64(7)).astype(np.uint8)))
+
+
+def _test_bits(bits: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    return (bits[(positions >> np.uint64(3)).astype(np.int64)] & (np.uint8(1) << (positions & np.uint64(7)).astype(np.uint8))) != 0
+
+
+def bloom_bits_for(n_items: int, bits_per_item: int = 12) -> int:
+    """Power-of-two bit-array size ≥ bits_per_item*n (fpp ≈ 0.3-1%)."""
+    want = max(1024, n_items * bits_per_item)
+    n = 1024
+    while n < want:
+        n <<= 1
+    return n
+
+
+def build_bloom(seen_df: DataFrame, hash_col: str, n_bits: int, k: int = 5) -> bytes:
+    """Per-partition shards via mapInPandas, OR-merged on the driver.
+
+    The shard emit is one row per partition (n_bits/8 bytes each); the
+    merge is an associative bitwise OR — order-independent, deterministic.
+    """
+
+    def shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = _empty_bits(n_bits)
+        saw = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            saw = True
+            hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+            for pos in _probe_positions(hashes, n_bits, k):
+                _set_bits(bits, pos)
+        if saw:
+            yield pd.DataFrame({"shard": [bits.tobytes()]})
+
+    shards = seen_df.select(hash_col).mapInPandas(shard, "shard binary").collect()
+    merged = _empty_bits(n_bits)
+    for row in shards:
+        merged |= np.frombuffer(row["shard"], dtype=np.uint8)
+    return merged.tobytes()
+
+
+class SeenFilter:
+    """Exact seen-membership with a broadcast bloom prefilter."""
+
+    def __init__(self, spark: SparkSession, seen_df: DataFrame, hash_col: str = "key_hash", bits_per_item: int = 12, k: int = 5, n_items_hint: int | None = None):
+        self.spark = spark
+        self.seen_df = seen_df
+        self.hash_col = hash_col
+        n_items = n_items_hint if n_items_hint is not None else max(1, seen_df.count())
+        self.n_bits = bloom_bits_for(n_items, bits_per_item)
+        self.k = k
+        blob = build_bloom(seen_df, hash_col, self.n_bits, k)
+        self._bc = spark.sparkContext.broadcast(blob)
+
+    def might_contain_udf(self):
+        n_bits, k, bc = self.n_bits, self.k, self._bc
+
+        @F.pandas_udf(BooleanType())
+        def might_contain(hashes: pd.Series) -> pd.Series:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            h = hashes.to_numpy(dtype=np.int64)
+            hit = np.ones(len(h), dtype=bool)
+            for pos in _probe_positions(h, n_bits, k):
+                hit &= _test_bits(bits, pos)
+            return pd.Series(hit)
+
+        return might_contain
+
+    def filter_new(self, candidates: DataFrame) -> DataFrame:
+        """Rows of ``candidates`` whose ``hash_col`` is NOT in the seen set.
+
+        definitely-new (bloom miss) ∪ (bloom hit ANTI JOIN seen) — exact.
+        """
+        mc = self.might_contain_udf()
+        tagged = candidates.withColumn("_maybe_seen", mc(F.col(self.hash_col)))
+        definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        survivors = maybe.join(
+            self.seen_df.select(self.hash_col), on=self.hash_col, how="left_anti"
+        )
+        return definitely_new.unionByName(survivors)
+
+
+def filter_new_exact(candidates: DataFrame, seen_df: DataFrame, hash_col: str = "key_hash") -> DataFrame:
+    """The truth path alone (D3/D4 anti-join, SURVEY §2.3) — used as the
+    oracle for the bloom path and directly for small frontiers."""
+    return candidates.join(seen_df.select(hash_col), on=hash_col, how="left_anti")

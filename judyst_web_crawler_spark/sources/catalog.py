@@ -1,0 +1,121 @@
+"""Snapshot table catalog — parquet dirs + manifest files.
+
+The engine's state tables (``seen``, ``frontier_state``, ``processed``,
+``headers``, ``documents``, ``metrics`` — FIXTURES.md §6) need Iceberg
+semantics: atomic append, last-wins upsert, snapshot time travel for
+resume (reference checkpoint protocol law_codes.py:752-776,:911-928).
+This sandbox has no Iceberg runtime jar, so this module emulates the
+same API over plain parquet directories with JSON manifests:
+
+- every commit writes data files to a fresh ``data/snap-<v>/`` dir, then
+  atomically renames ``_manifests/v<v>.json`` into place (os.rename is
+  atomic on POSIX) — readers only ever see fully-committed snapshots;
+- a manifest lists the data dirs that make up the snapshot, so append is
+  O(1) metadata and time travel = read an older manifest;
+- ``merge_upsert`` re-expresses ``MERGE INTO ... WHEN MATCHED UPDATE WHEN
+  NOT MATCHED INSERT`` (SURVEY §2.1 S11-S13) as anti-join + union +
+  overwrite-snapshot. On a real cluster this whole class is replaced by
+  the Iceberg catalog (``CREATE TABLE``/``MERGE INTO``) — a config flip,
+  not a redesign (SURVEY §7 "Iceberg availability").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest bookkeeping -------------------------------------------
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_dir(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_manifests")
+
+    def versions(self, name: str) -> list[int]:
+        mdir = self._manifest_dir(name)
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for f in os.listdir(mdir):
+            m = re.fullmatch(r"v(\d+)\.json", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_version(self, name: str) -> int | None:
+        vs = self.versions(name)
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, name: str, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir(name), f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, dirs: list[str], op: str) -> int:
+        mdir = self._manifest_dir(name)
+        os.makedirs(mdir, exist_ok=True)
+        v = (self.current_version(name) or 0) + 1
+        payload = {"version": v, "op": op, "dirs": dirs}
+        tmp = os.path.join(mdir, f".v{v}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.rename(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit point
+        return v
+
+    # -- table ops --------------------------------------------------------
+
+    def exists(self, name: str) -> bool:
+        return self.current_version(name) is not None
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name} has no snapshots")
+        dirs = self._read_manifest(name, v)["dirs"]
+        return self.spark.read.parquet(*dirs)
+
+    def append(self, name: str, df: DataFrame) -> int:
+        v_next = (self.current_version(name) or 0) + 1
+        data_dir = os.path.join(self._tdir(name), "data", f"snap-{v_next}")
+        df.write.mode("overwrite").parquet(data_dir)
+        prev = self.current_version(name)
+        dirs = (self._read_manifest(name, prev)["dirs"] if prev else []) + [data_dir]
+        return self._commit(name, dirs, "append")
+
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        v_next = (self.current_version(name) or 0) + 1
+        data_dir = os.path.join(self._tdir(name), "data", f"snap-{v_next}")
+        df.write.mode("overwrite").parquet(data_dir)
+        return self._commit(name, [data_dir], "overwrite")
+
+    def merge_upsert(self, name: str, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE INTO <name> USING updates ON keys — last-wins update.
+
+        Equivalent plan: current LEFT ANTI JOIN updates (drop matched)
+        UNION updates. Requires updates to be key-unique (caller dedupes).
+        """
+        if not self.exists(name):
+            return self.overwrite(name, updates)
+        current = self.read(name)
+        kept = current.join(updates.select(*keys), on=keys, how="left_anti")
+        merged = kept.unionByName(updates.select(*current.columns))
+        # materialize BEFORE the overwrite commit so we never read a
+        # snapshot we are replacing mid-write
+        v_next = (self.current_version(name) or 0) + 1
+        data_dir = os.path.join(self._tdir(name), "data", f"snap-{v_next}")
+        merged.write.mode("overwrite").parquet(data_dir)
+        return self._commit(name, [data_dir], "merge")
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
