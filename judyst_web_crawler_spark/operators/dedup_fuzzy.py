@@ -267,17 +267,17 @@ def simhash_near_duplicates(
     sigs = simhash_signatures(df, id_col, text_col, shingle_n)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
+    # unrolled in Python: shift amounts must be literals
+    block_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(n_blocks)
+        ]
+    )
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-                lambda b: F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ),
-            )
-        ).alias("block", "block_val"),
+        F.posexplode(block_vals).alias("block", "block_val"),
     )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (

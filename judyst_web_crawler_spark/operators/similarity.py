@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a training-data pipeline needs at 100 TB:
+
+- brute-force cosine top-k: correctness baseline. The dot product stays
+  JVM-side (``aggregate(zip_with(...))``) against a broadcast query
+  vector — no Python in the loop, one narrow scan + a top-k sort that
+  Spark executes as partial top-k per partition (TakeOrderedAndProject).
+- LSH-bucketed ANN: random-hyperplane signatures (seeded, deterministic)
+  → candidates share a signature bucket in ≥1 band → exact cosine only
+  on candidates. The bucket join is the only shuffle; brute-force cost
+  drops from n to n/2^bits per probe at recall governed by n_tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """JVM-side dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(_vec(a), _vec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(_vec(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_to_query(vec_col: Column | str, query: list[float]) -> Column:
+    """Cosine similarity of each row's vector to a constant query vector.
+
+    The query is a literal array — Catalyst folds it; zero-norm rows get
+    cosine 0.0 (defined, deterministic).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.linalg.norm(query))
+    denom = l2_norm(vec_col) * F.lit(qn)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_product(vec_col, q) / denom)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine. orderBy+limit compiles to per-partition
+    partial top-k + single merge (no full sort shuffle)."""
+    return (
+        df.select(F.col(id_col), F.round(cosine_to_query(vec_col, query), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------------- LSH
+
+
+def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int) -> np.ndarray:
+    """(n_tables, bits, dim) deterministic pseudo-gaussian hyperplanes
+    via seeded Generator — same planes on every executor."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits, dim)).astype(np.float32)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket) — sign pattern of ``bits`` hyperplane dots per
+    table, packed to an int bucket id. Vectorized numpy over Arrow batches."""
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_tables, out_buckets = [], [], []
+            for t in range(n_tables):
+                proj = mat @ planes[t].T  # (n, bits)
+                buckets = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+                out_ids.append(ids)
+                out_tables.append(np.full(len(ids), t, dtype=np.int32))
+                out_buckets.append(buckets)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "table": np.concatenate(out_tables),
+                    "bucket": np.concatenate(out_buckets),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, f"{id_col} long, table int, bucket long"
+    )
+
+
+def ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket in every table, exact
+    cosine on the candidate union only."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+    q = np.asarray(query, dtype=np.float32)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    probes = [
+        (t, int((((planes[t] @ q) > 0).astype(np.int64) * weights).sum()))
+        for t in range(n_tables)
+    ]
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(probes, "table int, bucket long")
+    sigs = lsh_signatures(df, dim, id_col, vec_col, n_tables, bits, seed)
+    cand_ids = (
+        sigs.join(F.broadcast(probe_df), on=["table", "bucket"], how="inner")
+        .select(id_col)
+        .distinct()
+    )
+    cands = df.join(cand_ids, on=id_col, how="inner")
+    return brute_force_topk(cands, query, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 6,
+    bits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold: LSH bucket
+    self-join for candidates, exact cosine verify. (id_a < id_b)."""
+    sigs = lsh_signatures(df, dim, id_col, vec_col, n_tables, bits, seed)
+    l, r = sigs.alias("l"), sigs.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    joined = pairs.join(va, "id_a").join(vb, "id_b")
+    denom = l2_norm("vec_a") * l2_norm("vec_b")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot_product("vec_a", "vec_b") / denom)
+    return joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

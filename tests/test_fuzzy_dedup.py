@@ -1,0 +1,73 @@
+"""Near-dup detection: planted duplicates must be found; unrelated texts
+must not pair up. MinHash estimates must track exact Jaccard."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from judyst_web_crawler_spark.operators import dedup_fuzzy as D
+
+BASE = (
+    "Настоящим постановлением суд установил что жалоба гражданина "
+    "подлежит рассмотрению в установленном законом порядке и направил "
+    "материалы дела в соответствующую инстанцию для дальнейшего изучения "
+)
+OTHER = (
+    "Совершенно иной документ про погоду природу и путешествия по горам "
+    "рекам и озёрам с фотографиями и картами маршрутов для туристов "
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE * 3),
+        (2, BASE * 3),                                  # exact dup of 1
+        (3, BASE * 3 + " дополнительное предложение."),  # near dup of 1
+        (4, OTHER * 3),
+        (5, OTHER * 3 + " ещё абзац о снаряжении."),     # near dup of 4
+        (6, "короткий уникальный текст о кошках"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    groups = D.exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+    kept = D.exact_dedup(_docs(spark)).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {1, 3, 4, 5, 6}
+
+
+def test_minhash_near_duplicates(spark):
+    pairs = D.minhash_near_duplicates(_docs(spark), threshold=0.6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (4, 5) in got
+    assert all(not (a in (1, 2, 3) and b in (4, 5, 6)) for a, b in got)
+
+
+def test_minhash_estimates_jaccard(spark):
+    sigs = {r["doc_id"]: np.array(r["signature"]) for r in D.minhash_signatures(_docs(spark), k=128).collect()}
+    est = (sigs[1] == sigs[3]).mean()
+    sa = D._shingle_hashes_fast(BASE * 3)
+    sb = D._shingle_hashes_fast(BASE * 3 + " дополнительное предложение.")
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    true_j = inter / (len(sa) + len(sb) - inter)
+    assert abs(est - true_j) < 0.15
+    assert (sigs[1] == sigs[2]).all()  # identical docs, identical sigs
+
+
+def test_simhash_near_duplicates(spark):
+    pairs = D.simhash_near_duplicates(_docs(spark), max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical text → hamming 0
+    assert all(not (a in (1, 2, 3) and b in (4, 5, 6)) for a, b in got)
+
+
+def test_jaccard_verify_pairs(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    out = D.jaccard_verify(pairs, _docs(spark), threshold=0.0).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert j[(1, 2)] == 1.0
+    assert j[(1, 4)] < 0.2

@@ -1,0 +1,47 @@
+"""Text-analysis operators over the driver documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from judyst_web_crawler_spark.functions import textstats as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_token_count_matches_python(spark):
+    rows = _docs(spark).select(
+        "doc_id", "text", T.token_count("text").alias("n")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] == len(r["text"].split()), r["doc_id"]
+
+
+def test_lang_id_sane(spark):
+    got = _docs(spark).select("lang", T.lang_id("text").alias("guess")).collect()
+    # heuristic must be deterministic and only emit known tags
+    assert {r["guess"] for r in got} <= {"ru", "en", "und"}
+
+
+def test_quality_score_bounds(spark):
+    got = _docs(spark).select(T.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in got)
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Foo  Bar"), (2, "foo bar"), (3, "bar foo")], "doc_id long, text string"
+    )
+    fp = df.select("doc_id", T.normalized_fingerprint("text").alias("f")).collect()
+    by_id = {r["doc_id"]: r["f"] for r in fp}
+    assert by_id[1] == by_id[2]  # case+whitespace-insensitive
+    assert by_id[1] != by_id[3]  # order-sensitive
+    rh = df.select("doc_id", T.rolling_fingerprint_udf(F.col("text")).alias("h")).collect()
+    by_id_h = {r["doc_id"]: r["h"] for r in rh}
+    for r in df.collect():
+        assert by_id_h[r["doc_id"]] == T.rolling_hash_py(r["text"])
