@@ -89,7 +89,10 @@ def quality_score(text: Column | str) -> Column:
     len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 4)
     sw_score = F.least(stopword_ratio(t) * 5, F.lit(1.0))
-    return F.round(len_score * 0.4 + punct_penalty * 0.3 + sw_score * 0.3, 6)
+    raw = len_score * 0.4 + punct_penalty * 0.3 + sw_score * 0.3
+    # floor(x*1e6+0.5)/1e6 instead of round(): identical double arithmetic
+    # on every engine (Spark HALF_UP vs DuckDB half-even differ on ties)
+    return F.floor(raw * 1000000.0 + F.lit(0.5)) / 1000000.0
 
 
 def normalized_fingerprint(text: Column | str) -> Column:

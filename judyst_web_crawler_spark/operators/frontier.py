@@ -2,76 +2,152 @@
 
 End-to-end slice per wave (SURVEY §7 minimum slice; flagship entry):
 
-    frontier(pending) ──anti-join──► new-vs-seen (bloom prefilter + exact)
+    pending = frontier ANTI JOIN done          (append-only retirement set)
         │
-        ├─ robots filter (broadcast politeness table)
-        ├─ per-host budget top-k, priority (depth, page_seq, intra_seq)
+        ├─ url-level collapse (same url rediscovered → one fetch)
+        ├─ seen filter: incremental bloom prefilter + exact anti-join
+        ├─ first-wins per canonical key within the wave (D1, ksrf.py:106-142)
+        ├─ robots filter + per-host budget top-k (salted; politeness.py)
         ▼
     fetch stand-in: join selected urls to the pages table (html BINARY)
         ▼
     extract_text_udf (byte-identical reference pipeline, P5+P7+P9)
         ▼
-    commit: documents += wave output, seen += scheduled keys,
-            frontier statuses updated, per-partition metrics appended
-            (all snapshot commits — crash-safe resume, law_codes.py:752-776
-            checkpoint semantics re-hosted on snapshots)
+    commits (each an atomic snapshot, crash-safe resume per
+    law_codes.py:752-776 checkpoint semantics):
+        documents += wave output
+        seen      += scheduled keys
+        done      += scheduled / duplicate / robots-denied urls
+        metrics   += per-partition lineage
 
-Scale notes: the frontier and seen tables are written hash-partitioned by
-``key_hash`` buckets; every per-wave join below is either broadcast
-(politeness) or key-hash equi-join (seen, pages) so Catalyst/AQE handle
-physical strategy; nothing in the loop collects rows to the driver except
-scalar counts and the OR-merged bloom shards.
+Scale design (10^10 URLs):
+- ALL state tables are append-only — no wave ever rewrites a table, so
+  per-wave cost is O(pending), not O(frontier). The old design's
+  full-frontier status overwrite per wave would be O(frontier × waves).
+- ``pending`` is an anti-join on ``url`` against ``done``; at cluster
+  scale both sides are hash-partitioned/bucketed on the join key so the
+  anti-join is shuffle-local.
+- the bloom prefilter is maintained INCREMENTALLY: built once from the
+  ``seen`` table at engine construction (resume), then OR-merged with
+  each wave's newly-scheduled keys — never rebuilt from the full table.
+  At 10^10 keys a single broadcast bloom no longer fits; the same
+  incremental OR applies per hash-range shard (seen.py header).
+- every join below is either broadcast (politeness config) or key-hash
+  equi-join; Catalyst/AQE pick physical strategy; nothing collects rows
+  to the driver except scalar counts and bloom blobs.
 """
 
 from __future__ import annotations
 
 import time
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from judyst_web_crawler_spark.functions import canonical as C
 from judyst_web_crawler_spark.functions.extraction import extract_text_udf
 from judyst_web_crawler_spark.operators.politeness import apply_robots, budget_topk
-from judyst_web_crawler_spark.operators.seen import SeenFilter, filter_new_exact
+from judyst_web_crawler_spark.operators.seen import (
+    bloom_bits_for,
+    build_bloom,
+    filter_new_exact,
+    filter_new_with_bloom,
+)
 from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
 
 FRONTIER_TABLE = "frontier_state"
 SEEN_TABLE = "seen"
+DONE_TABLE = "done_urls"
 DOCS_TABLE = "documents"
 METRICS_TABLE = "metrics"
 
+def _priority():
+    return [F.col("depth").asc(), F.col("page_seq").asc(), F.col("intra_page_seq").asc()]
+
 
 class FrontierEngine:
-    def __init__(self, spark: SparkSession, catalog: SnapshotCatalog, politeness: DataFrame | None = None, use_bloom: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        politeness: DataFrame | None = None,
+        use_bloom: bool = True,
+        bloom_capacity: int = 1_000_000,
+        bloom_bits_per_item: int = 12,
+        bloom_k: int = 5,
+    ):
         self.spark = spark
         self.catalog = catalog
         self.politeness = politeness
         self.use_bloom = use_bloom
+        self._bloom_k = bloom_k
+        self._bloom_nbits = bloom_bits_for(bloom_capacity, bloom_bits_per_item)
+        self._bloom: np.ndarray | None = None
+        self._bloom_bc = None
+        if use_bloom:
+            if catalog.exists(SEEN_TABLE):
+                # resume: rebuild once from the committed seen set
+                blob = build_bloom(catalog.read(SEEN_TABLE), "key_hash", self._bloom_nbits, bloom_k)
+                self._bloom = np.frombuffer(blob, dtype=np.uint8).copy()
+            else:
+                self._bloom = np.zeros(self._bloom_nbits // 8, dtype=np.uint8)
+
+    # -- bloom maintenance -------------------------------------------------
+
+    def _bloom_broadcast(self):
+        if self._bloom_bc is None:
+            self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom.tobytes())
+        return self._bloom_bc
+
+    def _bloom_add(self, keys_df: DataFrame) -> None:
+        """OR this wave's newly-scheduled keys into the running bloom."""
+        blob = build_bloom(keys_df, "key_hash", self._bloom_nbits, self._bloom_k)
+        self._bloom |= np.frombuffer(blob, dtype=np.uint8)
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist()
+            self._bloom_bc = None
 
     # -- bootstrap ---------------------------------------------------------
 
     def bootstrap(self, seeds: DataFrame) -> None:
         """Seed the frontier. ``seeds``: url, page_seq, intra_page_seq
-        (FIXTURES.md §2); host/depth/priority_band derived here."""
+        (FIXTURES.md §2); host/depth/canonical key derived here. Discovery
+        of new URLs mid-crawl = another append to the frontier table."""
         frontier = (
             seeds.withColumn("host", C.url_host("url"))
             .withColumn("depth", F.lit(0))
             .withColumn("canonical_url", C.canonical_key("url"))
             .withColumn("key_hash", C.key_hash(C.canonical_key("url")))
-            .withColumn("priority_band", F.least(F.col("page_seq"), F.lit(9)))
-            .withColumn("status", F.lit("pending"))
             .select(
                 "url", "host", "depth", "page_seq", "intra_page_seq",
-                "priority_band", "status", "canonical_url", "key_hash",
+                "canonical_url", "key_hash",
             )
         )
         self.catalog.overwrite(FRONTIER_TABLE, frontier)
 
+    def enqueue(self, seeds: DataFrame, depth: int) -> None:
+        """Append newly-discovered URLs (deeper frontier levels)."""
+        frontier = (
+            seeds.withColumn("host", C.url_host("url"))
+            .withColumn("depth", F.lit(depth))
+            .withColumn("canonical_url", C.canonical_key("url"))
+            .withColumn("key_hash", C.key_hash(C.canonical_key("url")))
+            .select(
+                "url", "host", "depth", "page_seq", "intra_page_seq",
+                "canonical_url", "key_hash",
+            )
+        )
+        self.catalog.append(FRONTIER_TABLE, frontier)
+
     # -- wave --------------------------------------------------------------
 
     def pending(self) -> DataFrame:
-        return self.catalog.read(FRONTIER_TABLE).filter(F.col("status") == "pending")
+        frontier = self.catalog.read(FRONTIER_TABLE)
+        if self.catalog.exists(DONE_TABLE):
+            done = self.catalog.read(DONE_TABLE).select("url")
+            return frontier.join(done, on="url", how="left_anti")
+        return frontier
 
     def next_wave_id(self) -> int:
         if not self.catalog.exists(METRICS_TABLE):
@@ -89,96 +165,119 @@ class FrontierEngine:
         """One politeness-respecting fetch+extract wave. Returns metrics."""
         t0 = time.monotonic()
         wave = self.next_wave_id() if wave is None else wave
-        frontier = self.pending()
 
-        # 1. seen filter (exact; bloom prefilter when the table is big)
+        pending = self.pending().localCheckpoint(eager=True)  # cut wave-loop lineage
+        n_pending = pending.count()
+        if n_pending == 0:
+            return {"wave": wave, "frontier_pending": 0, "scheduled": 0, "retired": 0, "elapsed_s": 0.0}
+
+        # 1. url-level collapse: rediscoveries of one url = one fetch row
+        w_url = Window.partitionBy("url").orderBy(*_priority())
+        pending_u = (
+            pending.withColumn("_ur", F.row_number().over(w_url))
+            .filter(F.col("_ur") == 1)
+            .drop("_ur")
+        )
+
+        # 2. seen filter (incremental bloom prefilter + exact anti-join)
         if self.catalog.exists(SEEN_TABLE):
             seen = self.catalog.read(SEEN_TABLE)
             if self.use_bloom:
-                new = SeenFilter(self.spark, seen, "key_hash").filter_new(frontier)
+                new = filter_new_with_bloom(
+                    pending_u, seen, "key_hash",
+                    self._bloom_broadcast(), self._bloom_nbits, self._bloom_k,
+                )
             else:
-                new = filter_new_exact(frontier, seen, "key_hash")
+                new = filter_new_exact(pending_u, seen, "key_hash")
         else:
-            new = frontier
-        dedup_input = frontier.count()
+            new = pending_u
+        # materialize once: the politeness chain, the dup-retirement
+        # anti-join, and the fetch stage all branch from ``new``
+        new = new.localCheckpoint(eager=True)
 
-        # first-wins WITHIN the wave too (reference D1 is first-wins over
-        # the whole discovery stream): one row per canonical key, best
-        # priority survives
-        w_key = Window.partitionBy("key_hash").orderBy(
-            F.col("depth").asc(), F.col("page_seq").asc(), F.col("intra_page_seq").asc()
-        )
-        new = (
-            new.withColumn("_kr", F.row_number().over(w_key))
-            .filter(F.col("_kr") == 1)
-            .drop("_kr")
-        )
-        new = new.localCheckpoint(eager=True)  # cut lineage across wave loop
-        new_count = new.count()
+        # 3. first-wins per canonical key WITHIN the wave (D1): one fetch
+        # per key, best priority survives; later-priority keys retire as dups
+        w_key = Window.partitionBy("key_hash").orderBy(*_priority())
+        keyed = new.withColumn("_kr", F.row_number().over(w_key))
+        new_first = keyed.filter(F.col("_kr") == 1).drop("_kr")
 
-        # 2. politeness: robots + budget top-k per host
-        selected = new
+        # 4. politeness: robots + budget top-k per (salted) host
+        allowed = new_first
         if self.politeness is not None:
-            selected = apply_robots(selected, self.politeness)
-        selected = budget_topk(selected, self.politeness, default_budget=budget, n_salts=n_salts)
-        selected = selected.localCheckpoint(eager=True)
+            allowed = apply_robots(allowed, self.politeness)
+        selected = budget_topk(allowed, self.politeness, default_budget=budget, n_salts=n_salts)
 
-        # 3. fetch stand-in + extract (SURVEY §2.1 S3: html column IS the payload)
+        # 5. fetch stand-in + extract (SURVEY §2.1 S3: html column IS the payload)
         fetched = selected.join(pages.select("url", "html"), on="url", how="left")
         docs = fetched.select(
             "url", "host", "depth", "page_seq", "intra_page_seq", "key_hash",
             extract_text_udf(F.col("html")).alias("text"),
         ).withColumn("wave", F.lit(wave))
-        # materialize once; every commit below reuses it (extract UDF
-        # runs exactly one pass per wave)
-        docs = docs.localCheckpoint(eager=True)
-
-        # 4. per-partition lineage metrics (FIXTURES.md §6)
-        part_metrics = docs.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count(F.lit(1)).alias("fetch_count"), F.max("depth").alias("depth")
-        ).withColumn("wave", F.lit(wave))
-
-        # 5. commits (each an atomic snapshot)
         self.catalog.append(DOCS_TABLE, docs)
-        scheduled_keys = docs.select(
-            "key_hash", F.col("url").alias("url"), F.lit(wave).alias("first_seen_wave")
-        )
+        # read the COMMITTED snapshot back: one extract pass ran at the
+        # append; every commit below reuses the parquet output
+        docs_c = self.catalog.read(DOCS_TABLE).filter(F.col("wave") == wave)
+
+        # 6. seen += scheduled keys; bloom |= scheduled keys
+        scheduled_keys = docs_c.select("key_hash", "url", F.lit(wave).alias("first_seen_wave"))
         if self.catalog.exists(SEEN_TABLE):
             self.catalog.append(SEEN_TABLE, scheduled_keys)
         else:
             self.catalog.overwrite(SEEN_TABLE, scheduled_keys)
+        if self.use_bloom:
+            self._bloom_add(scheduled_keys)
 
-        fetched_urls = docs.select("url")
-        frontier_all = self.catalog.read(FRONTIER_TABLE)
-        updated = (
-            frontier_all.join(fetched_urls.withColumn("_done", F.lit(True)), on="url", how="left")
-            .withColumn(
-                "status",
-                F.when(F.col("_done") & (F.col("status") == "pending"), F.lit("fetched")).otherwise(F.col("status")),
-            )
-            .drop("_done")
+        # 7. done += scheduled ∪ seen-dups ∪ intra-wave dups ∪ robots-denied
+        sched_urls = docs_c.select("url", F.lit("scheduled").alias("retire_status"))
+        seen_dups = pending_u.join(new.select("url"), on="url", how="left_anti").select(
+            "url", F.lit("dup").alias("retire_status")
         )
-        self.catalog.overwrite(FRONTIER_TABLE, updated)
+        intra_dups = keyed.filter(F.col("_kr") > 1).select(
+            "url", F.lit("dup").alias("retire_status")
+        )
+        done_new = sched_urls.unionByName(seen_dups).unionByName(intra_dups)
+        if self.politeness is not None:
+            denied = new_first.join(allowed.select("url"), on="url", how="left_anti").select(
+                "url", F.lit("robots_denied").alias("retire_status")
+            )
+            done_new = done_new.unionByName(denied)
+        done_new = done_new.withColumn("wave", F.lit(wave)).localCheckpoint(eager=True)
+        if self.catalog.exists(DONE_TABLE):
+            self.catalog.append(DONE_TABLE, done_new)
+        else:
+            self.catalog.overwrite(DONE_TABLE, done_new)
 
-        scheduled = docs.count()
+        status_counts = {
+            r["retire_status"]: r["n"]
+            for r in done_new.groupBy("retire_status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        scheduled = status_counts.get("scheduled", 0)
+        dedup_hits = status_counts.get("dup", 0)
+        denied_n = status_counts.get("robots_denied", 0)
+
+        # 8. per-partition lineage metrics (FIXTURES.md §6)
         elapsed = time.monotonic() - t0
-        dedup_hits = dedup_input - new_count
-        metrics_df = part_metrics.select(
-            "wave", "partition_id", "depth", "fetch_count",
-            F.lit(dedup_hits).alias("dedup_hits"),
-            F.lit(dedup_hits / dedup_input if dedup_input else 0.0).alias("dedup_hit_rate"),
-            F.lit(elapsed).alias("elapsed_s"),
+        part_metrics = (
+            docs_c.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("fetch_count"), F.max("depth").alias("depth"))
+            .select(
+                F.lit(wave).alias("wave"), "partition_id", "depth", "fetch_count",
+                F.lit(dedup_hits).alias("dedup_hits"),
+                F.lit(dedup_hits / n_pending if n_pending else 0.0).alias("dedup_hit_rate"),
+                F.lit(elapsed).alias("elapsed_s"),
+            )
         )
         if self.catalog.exists(METRICS_TABLE):
-            self.catalog.append(METRICS_TABLE, metrics_df)
+            self.catalog.append(METRICS_TABLE, part_metrics)
         else:
-            self.catalog.overwrite(METRICS_TABLE, metrics_df)
+            self.catalog.overwrite(METRICS_TABLE, part_metrics)
         return {
             "wave": wave,
-            "frontier_pending": dedup_input,
-            "new_after_seen": new_count,
+            "frontier_pending": n_pending,
             "scheduled": scheduled,
             "dedup_hits": dedup_hits,
+            "robots_denied": denied_n,
+            "retired": scheduled + dedup_hits + denied_n,
             "elapsed_s": elapsed,
         }
 
@@ -187,20 +286,10 @@ class FrontierEngine:
         ksrf.py:107 re-expressed as batch waves)."""
         stats = []
         for _ in range(max_waves):
-            if self.pending().limit(1).count() == 0:
-                break
             m = self.run_wave(pages, budget=budget, n_salts=n_salts)
-            stats.append(m)
-            if m["scheduled"] == 0:
-                # pending urls remain but none are schedulable (robots-denied
-                # or seen) — mark them skipped to drain
-                frontier_all = self.catalog.read(FRONTIER_TABLE)
-                self.catalog.overwrite(
-                    FRONTIER_TABLE,
-                    frontier_all.withColumn(
-                        "status",
-                        F.when(F.col("status") == "pending", F.lit("skipped")).otherwise(F.col("status")),
-                    ),
-                )
+            if m["frontier_pending"] == 0:
                 break
+            stats.append(m)
+            if m["retired"] == 0:
+                break  # no progress possible (e.g. budget 0)
         return stats

@@ -131,6 +131,40 @@ class SeenFilter:
         return definitely_new.unionByName(survivors)
 
 
+def bloom_might_contain_udf(bc, n_bits: int, k: int):
+    """Pandas membership-test UDF over a broadcast bloom blob."""
+
+    @F.pandas_udf(BooleanType())
+    def might_contain(hashes: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        h = hashes.to_numpy(dtype=np.int64)
+        hit = np.ones(len(h), dtype=bool)
+        for pos in _probe_positions(h, n_bits, k):
+            hit &= _test_bits(bits, pos)
+        return pd.Series(hit)
+
+    return might_contain
+
+
+def filter_new_with_bloom(
+    candidates: DataFrame,
+    seen_df: DataFrame,
+    hash_col: str,
+    bc,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """Two-tier filter with an externally-maintained bloom (the frontier
+    engine keeps the blob incrementally up to date across waves instead of
+    rebuilding it from the whole seen table each wave)."""
+    mc = bloom_might_contain_udf(bc, n_bits, k)
+    tagged = candidates.withColumn("_maybe_seen", mc(F.col(hash_col)))
+    definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    survivors = maybe.join(seen_df.select(hash_col).distinct(), on=hash_col, how="left_anti")
+    return definitely_new.unionByName(survivors)
+
+
 def filter_new_exact(candidates: DataFrame, seen_df: DataFrame, hash_col: str = "key_hash") -> DataFrame:
     """The truth path alone (D3/D4 anti-join, SURVEY §2.3) — used as the
     oracle for the bloom path and directly for small frontiers."""
