@@ -114,6 +114,27 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2 (ksrf.py:106-142): full listing dedup with -DUP re-keying,
+    run on a listing derived deterministically from ``documents``
+    (100 singleton keys + 50 keys with two competing URLs)."""
+    from judyst_web_crawler_spark.operators.dedup import dedup_listing
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.when(
+        F.col("doc_id") < 100, F.concat(F.lit("U"), F.col("doc_id").cast("string"))
+    ).otherwise(F.concat(F.lit("K"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string")))
+    url_num = F.when(F.col("doc_id") < 100, F.col("doc_id")).otherwise(
+        F.pmod(F.col("doc_id"), F.lit(100))
+    )
+    listing = docs.select(
+        key.alias("decision_id"),
+        F.concat(F.lit("http://h/doc"), url_num.cast("string"), F.lit(".pdf")).alias("url"),
+        F.col("doc_id").alias("seq"),
+    )
+    return dedup_listing(listing, key_col="decision_id", url_col="url", seq_col="seq")
+
+
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3/D4 (law_codes.py:752-776, ksrf.py:258-274): frontier ANTI JOIN seen."""
     docs = _t(spark, sf_dir, "documents")
@@ -385,6 +406,36 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_duplicates(emb, dim=64, threshold=0.9, n_tables=6, bits=8)
 
 
+def q_article_range_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 (law_codes.py:383-392): "Статьи N - M" → one row per number."""
+    from judyst_web_crawler_spark.operators.lawcodes import expand_article_range
+
+    docs = _t(spark, sf_dir, "documents")
+    lo = F.pmod(F.col("doc_id"), F.lit(20))
+    title = F.when(
+        F.pmod(F.col("doc_id"), 3) == 0,
+        F.concat(F.lit("Статьи "), lo.cast("string"), F.lit(" - "), (lo + 2).cast("string"), F.lit(". Блок")),
+    ).otherwise(F.concat(F.lit("Статья "), F.col("doc_id").cast("string"), F.lit(". Одна")))
+    listing = docs.select("doc_id", title.alias("title"))
+    return expand_article_range(listing).select("doc_id", "title", "article_num")
+
+
+def q_lawcode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/X3 (law_codes.py:467-698): block splitter + part/note
+    subheaders on synthetic law-style documents (non-SQL; rows-only)."""
+    from judyst_web_crawler_spark.operators.lawcodes import article_children, split_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("Глава 1. Общие положения\n\nСтатья "),
+        F.col("doc_id").cast("string"),
+        F.lit(". Заголовок\n1. Часть первая нормы.\n2. Часть вторая нормы.\n\n"),
+        F.lit("Примечание. Пояснение к статье.\n"),
+    )
+    law_docs = docs.select("doc_id", text.alias("text"))
+    return article_children(split_documents(law_docs))
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash doc fingerprint (non-SQL; rows-only)."""
     docs = _t(spark, sf_dir, "documents")
@@ -454,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_location": q_text_location,
         "dedup_first_wins": q_dedup_first_wins,
         "dup_groups": q_dup_groups,
+        "dedup_rekey": q_dedup_rekey,
         "seen_anti_join": q_seen_anti_join,
         "budget_topk": q_budget_topk,
         "emission_order": q_emission_order,
@@ -476,6 +528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_by_lang": q_text_stats_by_lang,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
+        # law-codes deep parsing
+        "article_range_expand": q_article_range_expand,
+        "lawcode_split": q_lawcode_split,
         # non-SQL-expressible (rows-only checks)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -569,6 +624,40 @@ def oracle_sql() -> dict[str, str]:
         "seen_anti_join": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        """,
+        "dedup_rekey": """
+            WITH listing AS (
+                SELECT CASE WHEN doc_id < 100 THEN 'U' || doc_id
+                            ELSE 'K' || (doc_id % 50) END AS decision_id,
+                       'http://h/doc' ||
+                       (CASE WHEN doc_id < 100 THEN doc_id ELSE doc_id % 100 END)
+                       || '.pdf' AS url,
+                       doc_id AS seq
+                FROM documents
+            ),
+            annotated AS (
+                SELECT *,
+                       count(*) OVER (PARTITION BY decision_id) AS key_cnt,
+                       lag(url) OVER (PARTITION BY decision_id ORDER BY url, seq) AS prev_url
+                FROM listing
+            ),
+            firsts AS (
+                SELECT * FROM annotated WHERE prev_url IS NULL OR prev_url <> url
+            ),
+            plain AS (
+                SELECT decision_id, url, seq, decision_id AS doc_id
+                FROM firsts WHERE key_cnt = 1
+            ),
+            dups AS (
+                SELECT decision_id, url, seq,
+                       decision_id || '/' || regexp_extract(url, '[A-Za-z](\\d+)', 1) || '-DUP' AS doc_id
+                FROM firsts WHERE key_cnt >= 2
+                QUALIFY row_number() OVER (
+                    PARTITION BY decision_id,
+                        decision_id || '/' || regexp_extract(url, '[A-Za-z](\\d+)', 1) || '-DUP'
+                    ORDER BY seq DESC) = 1
+            )
+            SELECT * FROM plain UNION ALL SELECT * FROM dups
         """,
         "budget_topk": """
             SELECT source AS host, doc_id, n_chars FROM documents
@@ -664,6 +753,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "article_range_expand": """
+            WITH listing AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'Статьи ' || (doc_id % 20) || ' - ' || (doc_id % 20 + 2) || '. Блок'
+                            ELSE 'Статья ' || doc_id || '. Одна' END AS title
+                FROM documents
+            ),
+            ranged AS (
+                SELECT doc_id, title,
+                       CAST(regexp_extract(title, 'Статьи (\\d+) - (\\d+)', 1) AS INTEGER) AS lo,
+                       CAST(regexp_extract(title, 'Статьи (\\d+) - (\\d+)', 2) AS INTEGER) AS hi
+                FROM listing WHERE doc_id % 3 = 0
+            )
+            SELECT doc_id, title, CAST(regexp_extract(title, 'Статья (\\d+(?:\\.\\d+)?)', 1) AS VARCHAR) AS article_num
+            FROM listing WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id, title, CAST(n AS VARCHAR) AS article_num
+            FROM ranged, unnest(range(lo, hi + 1)) AS t(n)
         """,
         "text_token_count": f"""
             SELECT doc_id, {tokens} AS n_tokens FROM documents
