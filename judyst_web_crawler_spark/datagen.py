@@ -100,14 +100,30 @@ def listing_df(
     )
 
 
-def _body_expr(seed: int):
+def _body_expr(seed: int, body_repeats: int = 3):
     """Deterministic page body with \\x0c page markers + an HTML entity.
 
     Every branch of pageNumberPattern (ksrf.py:154-159) occurs: \\x0c
     followed by digits, \\x0c before whitespace, \\x0c at end-of-text,
     and a \\x0c that must SURVIVE (followed by a non-space letter).
+    ``body_repeats`` scales the filler: 3 ≈ 0.5 KB pages for unit tests,
+    tens-to-hundreds ≈ the realistic court-page sizes the scaling bench
+    uses so per-URL work matches production. Filler words are derived
+    from (doc id, position) hashes, so text is DIVERSE within a document
+    — shingle/fingerprint loads behave like real prose, not like a
+    60:1-compressible repeat loop.
     """
-    filler = F.repeat(F.concat(F.lit("слово суд право "), F.pmod(F.xxhash64(F.col("id") + F.lit(seed * 3)), 100).cast("string"), F.lit(" ")), 3)
+    n_words = max(1, body_repeats * 6)
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_words)),
+            lambda i: F.concat(
+                F.lit("слово"),
+                F.pmod(F.xxhash64(F.col("id") + F.lit(seed * 3), i), F.lit(99999)).cast("string"),
+            ),
+        ),
+        " ",
+    )
     b = F.concat(
         F.lit("Постановление &quot;дело&quot; N "),
         F.col("id").cast("string"),
@@ -143,6 +159,7 @@ def pages_df(
     n_hosts: int = 50,
     seed: int = 42,
     with_oracle_text: bool = True,
+    body_repeats: int = 3,
 ) -> DataFrame:
     """The engine input table — exact BASELINE.json:15 shape.
 
@@ -154,7 +171,7 @@ def pages_df(
     url = F.concat(
         F.lit("http://"), host, F.lit("/ru/Decision/Pages/doc"), F.col("id").cast("string"), F.lit(".pdf")
     )
-    body = _body_expr(seed)
+    body = _body_expr(seed, body_repeats)
     markup = F.concat(
         F.lit("<html><head><title>doc</title></head><body><div class=\"decision\"><p>"),
         body,

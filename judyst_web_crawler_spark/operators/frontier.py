@@ -124,7 +124,7 @@ class FrontierEngine:
                 "canonical_url", "key_hash",
             )
         )
-        self.catalog.overwrite(FRONTIER_TABLE, frontier)
+        self.catalog.overwrite(FRONTIER_TABLE, frontier, partition_by=["depth"])
 
     def enqueue(self, seeds: DataFrame, depth: int) -> None:
         """Append newly-discovered URLs (deeper frontier levels)."""
@@ -138,7 +138,7 @@ class FrontierEngine:
                 "canonical_url", "key_hash",
             )
         )
-        self.catalog.append(FRONTIER_TABLE, frontier)
+        self.catalog.append(FRONTIER_TABLE, frontier, partition_by=["depth"])
 
     # -- wave --------------------------------------------------------------
 

@@ -1,0 +1,75 @@
+"""Physical-plan inspection helpers: assert the plan you meant to build.
+
+The engine keeps the Catalyst surface stock (SURVEY §4) — correctness of
+the *physical* strategy is therefore asserted at the plan level instead of
+custom rules: filters reach the scan, projections prune columns, small
+sides broadcast, Python stays out of JVM-only pipelines. Used by
+tests/test_plans.py and ad-hoc from tools/.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _explain(df: DataFrame, mode: str) -> str:
+    jvm = df.sparkSession._jvm
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return _explain(df, "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return _explain(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter predicates the parquet scan accepted for pushdown."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> set[str]:
+    """Columns the scan actually reads (column pruning check)."""
+    plan = formatted_plan(df)
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema:\s*struct<([^>]*)>", plan):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.add(name)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in simple_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange operators in the physical plan (pre-AQE)."""
+    return simple_plan(df).count("Exchange")
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages: ``*(n)`` markers in the simple
+    plan plus ``[codegen id : n]`` annotations in the formatted plan."""
+    ids = set(re.findall(r"\*\((\d+)\)", simple_plan(df)))
+    ids |= set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df)))
+    return len(ids)
+
+
+def python_eval_ops(df: DataFrame) -> int:
+    """Arrow/pandas-UDF evaluation operators in the plan — the hot path
+    should have exactly as many as the operator intends (usually ≤1)."""
+    plan = simple_plan(df)
+    return len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))

@@ -64,7 +64,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # documents carry whole page bodies; keep broadcast threshold sane
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM runs every task — size the heap for
+        # n_threads × partition buffers (8g thrashes GC at 32 threads with
+        # 100-200MB parquet splits; the sandbox host has 128g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -85,18 +85,27 @@ class SnapshotCatalog:
         dirs = self._read_manifest(name, v)["dirs"]
         return self.spark.read.parquet(*dirs)
 
-    def append(self, name: str, df: DataFrame) -> int:
-        v_next = (self.current_version(name) or 0) + 1
+    def _write(self, name: str, df: DataFrame, v_next: int, partition_by: list[str] | None) -> str:
         data_dir = os.path.join(self._tdir(name), "data", f"snap-{v_next}")
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style layout → partition pruning on read (e.g. the
+            # frontier's priority bands: a wave reading band<=k scans only
+            # those directories — SURVEY §4 custom-op 3)
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        return data_dir
+
+    def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        v_next = (self.current_version(name) or 0) + 1
+        data_dir = self._write(name, df, v_next, partition_by)
         prev = self.current_version(name)
         dirs = (self._read_manifest(name, prev)["dirs"] if prev else []) + [data_dir]
         return self._commit(name, dirs, "append")
 
-    def overwrite(self, name: str, df: DataFrame) -> int:
+    def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         v_next = (self.current_version(name) or 0) + 1
-        data_dir = os.path.join(self._tdir(name), "data", f"snap-{v_next}")
-        df.write.mode("overwrite").parquet(data_dir)
+        data_dir = self._write(name, df, v_next, partition_by)
         return self._commit(name, [data_dir], "overwrite")
 
     def merge_upsert(self, name: str, updates: DataFrame, keys: list[str]) -> int:

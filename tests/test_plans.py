@@ -1,0 +1,84 @@
+"""Physical-plan assertions (SURVEY §4): predicate pushdown and column
+pruning reach the parquet scan, small dims broadcast, pipelines stay in
+whole-stage codegen, and pandas-UDF stages appear exactly once."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from judyst_web_crawler_spark.plans import inspect as P
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _t(spark, name):
+    return spark.read.parquet(os.path.join(SF, f"{name}.parquet"))
+
+
+def test_filter_pushdown_and_pruning(spark):
+    li = _t(spark, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_returnflag", "l_quantity"
+    )
+    assert any("l_shipdate" in f for f in P.pushed_filters(q))
+    # scan reads only the filter + projection columns, not all 11
+    cols = P.read_schema_columns(q)
+    assert cols <= {"l_returnflag", "l_quantity", "l_shipdate"}
+
+
+def test_dim_join_broadcasts(spark):
+    orders = _t(spark, "orders")
+    cust = _t(spark, "customer")
+    q = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    assert P.has_broadcast_join(q)
+
+
+def test_agg_plan_is_jvm_only_with_partial_agg(spark):
+    """Pricing-summary agg: zero Python evaluation operators, and the
+    map-side partial aggregate is present (shuffle carries one row per
+    group per partition, not the raw table — the property that matters
+    at 100 TB)."""
+    li = _t(spark, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    assert P.python_eval_ops(q) == 0
+    assert "partial_sum" in P.simple_plan(q)
+
+
+def test_extraction_plan_single_python_stage(spark):
+    """The extract pipeline crosses JVM→Python exactly once per row batch."""
+    from judyst_web_crawler_spark.datagen import pages_df
+    from judyst_web_crawler_spark.functions.extraction import extracted_text
+
+    pages = pages_df(spark, n_rows=10, with_oracle_text=False)
+    q = pages.select("url", extracted_text("html").alias("text"))
+    assert P.python_eval_ops(q) == 1
+
+
+def test_canonicalization_stays_in_codegen(spark):
+    from judyst_web_crawler_spark.functions import canonical as C
+
+    docs = _t(spark, "documents")
+    url = F.concat(F.lit("http://h/x"), F.col("doc_id").cast("string"))
+    q = docs.select(
+        C.canonical_key(F.col("source")).alias("k"),
+        C.key_hash(C.canonical_key(F.col("source"))).alias("h"),
+        C.pdf_number(url).alias("p"),
+    )
+    assert P.python_eval_ops(q) == 0
+    assert P.wholestage_codegen_spans(q) >= 1
+
+
+def test_seen_anti_join_single_shuffle_pair(spark):
+    """The exact seen filter is one anti-join — no extra exchanges beyond
+    the two join inputs (AQE may later fold them)."""
+    from judyst_web_crawler_spark.operators.seen import filter_new_exact
+
+    docs = _t(spark, "documents")
+    cand = docs.select(F.col("doc_id").alias("key_hash"))
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("key_hash"))
+    q = filter_new_exact(cand, seen, "key_hash")
+    assert P.shuffle_count(q) <= 2
