@@ -146,6 +146,21 @@ def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("key_hash").alias("doc_id"), "lang", "source")
 
 
+def q_get_or_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (ksrf.py:258-274): cache-or-fetch — hits from store, misses
+    through the fetch path, union."""
+    from judyst_web_crawler_spark.operators.frontier import get_or_fetch
+
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 1).select(
+        F.col("doc_id"), F.lit("cache").alias("origin")
+    )
+    requests = docs.select("doc_id")
+    fetch = lambda misses: misses.select("doc_id", F.lit("fetch").alias("origin"))  # noqa: E731
+    result, _ = get_or_fetch(requests, store, fetch, key_col="doc_id")
+    return result
+
+
 def q_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness budget top-k per host (north_star; operators/politeness.py)."""
     docs = _t(spark, sf_dir, "documents")
@@ -507,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": q_dup_groups,
         "dedup_rekey": q_dedup_rekey,
         "seen_anti_join": q_seen_anti_join,
+        "get_or_fetch": q_get_or_fetch,
         "budget_topk": q_budget_topk,
         "emission_order": q_emission_order,
         "eav_reassembly": q_eav_reassembly,
@@ -658,6 +674,11 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY seq DESC) = 1
             )
             SELECT * FROM plain UNION ALL SELECT * FROM dups
+        """,
+        "get_or_fetch": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 <> 1 THEN 'cache' ELSE 'fetch' END AS origin
+            FROM documents
         """,
         "budget_topk": """
             SELECT source AS host, doc_id, n_chars FROM documents

@@ -191,6 +191,50 @@ def pages_df(
     return out.select("url", "warc_ts", "html", "text", "lang")
 
 
+def linked_pages_df(
+    spark: SparkSession,
+    n_rows: int = 100,
+    n_hosts: int = 4,
+    fanout: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Pages whose html contains ``href`` links to other pages of the same
+    table (deterministic ring-ish topology: page i links to pages
+    (i*3+k) mod n). Feeds the multi-depth crawl tests: seeds reach the
+    rest of the graph only through link discovery."""
+    df = spark.range(n_rows)
+    host = _host_expr(n_hosts, seed)
+
+    def url_of(idx):
+        # same shape for every page so links resolve within the table
+        h = F.concat(
+            F.lit("court"),
+            F.format_string("%03d", F.floor(F.lit(n_hosts) * F.pow(F.pmod(F.xxhash64(idx + F.lit(seed * 131)), F.lit(100000)) / 100000.0, F.lit(3.0))).cast("int")),
+            F.lit(".example.ru"),
+        )
+        return F.concat(F.lit("http://"), h, F.lit("/ru/Decision/Pages/doc"), idx.cast("string"), F.lit(".pdf"))
+
+    links = F.concat_ws(
+        "\n",
+        *[
+            F.concat(F.lit('<a href="'), url_of(F.pmod(F.col("id") * 3 + F.lit(k + 1), F.lit(n_rows))), F.lit('">l</a>'))
+            for k in range(fanout)
+        ],
+    )
+    body = _body_expr(seed)
+    markup = F.concat(
+        F.lit("<html><body><p>"), body, F.lit("</p>"), links, F.lit("</body></html>")
+    )
+    out = (
+        df.withColumn("url", url_of(F.col("id")))
+        .withColumn("warc_ts", F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("id") * 7))
+        .withColumn("html", F.encode(markup, "utf-8").cast("binary"))
+        .withColumn("lang", F.lit("ru"))
+    )
+    out = out.withColumn("text", extract_text_udf(F.col("html")))
+    return out.select("url", "warc_ts", "html", "text", "lang")
+
+
 def politeness_df(spark: SparkSession, hosts: list[str], budget: int = 2) -> DataFrame:
     rows = [
         (h, budget, ["/ru/"], ["/private/"], 1.0)

@@ -39,7 +39,7 @@ from html.parser import HTMLParser
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BinaryType, StringType
 
 # --- P5: the text invariant (ksrf.py:154-159) ---------------------------
 
@@ -113,6 +113,55 @@ def extracted_text(html_col: Column | str) -> Column:
     """Column expr: ``html BINARY`` payload → byte-identical decision text."""
     c = F.col(html_col) if isinstance(html_col, str) else html_col
     return extract_text_udf(c)
+
+
+# --- S5: zip-of-htm payload (law_codes.py:819-836) -----------------------
+
+
+def unzip_first_member(payload: bytes, suffix: str = ".htm") -> bytes | None:
+    """Reference S5 semantics: the export endpoint returns a zip; take the
+    first member with the wanted suffix (the reference extracts the first
+    ``.htm`` and discards the archive)."""
+    import io
+    import zipfile
+
+    if payload is None:
+        return None
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for name in zf.namelist():
+                if name.endswith(suffix):
+                    return zf.read(name)
+    except zipfile.BadZipFile:
+        return None
+    return None
+
+
+@F.pandas_udf(BinaryType())
+def unzip_first_htm_udf(payloads: pd.Series) -> pd.Series:
+    return payloads.map(lambda p: unzip_first_member(p))
+
+
+# --- link discovery (href scan; multi-depth crawl feed) ------------------
+
+
+def decoded_html(html_col: Column | str) -> Column:
+    """BINARY payload → string via the charset-fallback UDF (P9)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+
+    @F.pandas_udf(StringType())
+    def decode_udf(payloads: pd.Series) -> pd.Series:
+        return payloads.map(decode_payload)
+
+    return decode_udf(c)
+
+
+def links_from_html(html_str: Column | str) -> Column:
+    """All href targets in a page, as ARRAY<STRING> — JVM-side
+    ``regexp_extract_all`` over the decoded markup (one Python stage for
+    the decode, zero for the scan)."""
+    c = F.col(html_str) if isinstance(html_str, str) else html_str
+    return F.regexp_extract_all(c, F.lit(r'href="([^"]+)"'), F.lit(1))
 
 
 # --- P10/P11: Russian date handling (law_codes.py:35-49,:734-739) --------

@@ -66,6 +66,23 @@ def _priority():
     return [F.col("depth").asc(), F.col("page_seq").asc(), F.col("intra_page_seq").asc()]
 
 
+def get_or_fetch(requests: DataFrame, store: DataFrame, fetch, key_col: str = "url"):
+    """D4 (ksrf.py:258-274 get-or-fetch memoization): serve requests from
+    the store when cached, run ``fetch`` only for the misses.
+
+    ``fetch(misses_df) -> DataFrame`` must return rows with the store's
+    schema. Returns ``(result, fetched)`` — result is hits ∪ fetched;
+    the caller merges ``fetched`` back into the store (the reference's
+    write-back at ksrf.py:273 = a MERGE/append snapshot commit here).
+    Plan shape: one semi-join + one anti-join on the key — both
+    key-hash equi-joins, no full-store scan beyond them.
+    """
+    hits = store.join(requests.select(key_col), on=key_col, how="left_semi")
+    misses = requests.join(store.select(key_col), on=key_col, how="left_anti")
+    fetched = fetch(misses)
+    return hits.unionByName(fetched), fetched
+
+
 class FrontierEngine:
     def __init__(
         self,
@@ -281,6 +298,47 @@ class FrontierEngine:
             "elapsed_s": elapsed,
         }
 
+    def discover_and_enqueue(self, pages: DataFrame, depth: int) -> int:
+        """Multi-depth crawl feed: scan the documents fetched at
+        ``depth-1``, extract their outlinks (JVM regexp over decoded
+        html is upstream — here the docs table already has text; links
+        live in the pages table's html), and enqueue unseen urls at
+        ``depth``. Returns the number of urls enqueued.
+
+        At 10^10 scale this is one narrow scan of the last wave's docs +
+        the same seen anti-join every wave already does — no new shuffle
+        shape. (The reference's analogue is the contents-tree walk
+        feeding deeper law_codes fetches, law_codes.py:759-836.)
+        """
+        from judyst_web_crawler_spark.functions.extraction import (
+            decoded_html,
+            links_from_html,
+        )
+
+        docs = self.catalog.read(DOCS_TABLE).filter(F.col("depth") == depth - 1)
+        raw_links = (
+            docs.join(pages.select("url", "html"), on="url", how="inner")
+            .select(F.explode(links_from_html(decoded_html("html"))).alias("url"))
+            .distinct()
+        )
+        new_links = raw_links
+        if self.catalog.exists(DONE_TABLE):
+            new_links = new_links.join(
+                self.catalog.read(DONE_TABLE).select("url"), on="url", how="left_anti"
+            )
+        new_links = new_links.localCheckpoint(eager=True)
+        n = new_links.count()
+        if n:
+            self.enqueue(
+                new_links.select(
+                    "url",
+                    F.lit(0).alias("page_seq"),
+                    F.lit(0).alias("intra_page_seq"),
+                ),
+                depth=depth,
+            )
+        return n
+
     def run(self, pages: DataFrame, budget: int = 2, n_salts: int = 1, max_waves: int = 100) -> list[dict]:
         """Wave loop until the frontier drains (reference's page loop
         ksrf.py:107 re-expressed as batch waves)."""
@@ -292,4 +350,23 @@ class FrontierEngine:
             stats.append(m)
             if m["retired"] == 0:
                 break  # no progress possible (e.g. budget 0)
+        return stats
+
+    def crawl(
+        self,
+        pages: DataFrame,
+        budget: int = 2,
+        n_salts: int = 1,
+        max_depth: int = 3,
+        max_waves_per_depth: int = 100,
+    ) -> list[dict]:
+        """Multi-depth crawl: drain the current frontier, discover
+        outlinks from the fetched pages, enqueue them one level deeper,
+        repeat until no new links or ``max_depth``."""
+        stats = []
+        for depth in range(1, max_depth + 1):
+            stats.extend(self.run(pages, budget=budget, n_salts=n_salts, max_waves=max_waves_per_depth))
+            if self.discover_and_enqueue(pages, depth) == 0:
+                break
+        stats.extend(self.run(pages, budget=budget, n_salts=n_salts, max_waves=max_waves_per_depth))
         return stats

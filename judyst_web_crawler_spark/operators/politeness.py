@@ -33,6 +33,62 @@ def priority_order() -> list[Column]:
     return [F.col(c).asc_nulls_last() for c in PRIORITY_COLS]
 
 
+def parse_robots_txt(robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt") -> DataFrame:
+    """(host, robots.txt body) → the engine's rules table
+    ``(host, robots_allow array, robots_deny array, crawl_delay_s)``.
+
+    Understands the User-agent: * group, Allow/Disallow prefixes and
+    Crawl-delay. The reference has no robots handling at all (SURVEY
+    §2.8); this is the engine-added hook the north rule requires. Parsing
+    is a pandas UDF (line-oriented, per host — robots files are tiny);
+    enforcement stays the broadcast join in ``apply_robots``.
+    """
+    import pandas as pd
+
+    def parse(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = {"host": [], "robots_allow": [], "robots_deny": [], "crawl_delay_s": []}
+        for host, body in zip(pdf[host_col], pdf[body_col]):
+            allow: list[str] = []
+            deny: list[str] = []
+            delay = None
+            in_star = False
+            for raw in (body or "").splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                key = key.strip().lower()
+                val = val.strip()
+                if key == "user-agent":
+                    in_star = val == "*"
+                elif in_star and key == "allow" and val:
+                    allow.append(val)
+                elif in_star and key == "disallow":
+                    if val:
+                        deny.append(val)
+                elif in_star and key == "crawl-delay":
+                    try:
+                        delay = float(val)
+                    except ValueError:
+                        pass
+            rows["host"].append(host)
+            rows["robots_allow"].append(allow if allow else None)
+            rows["robots_deny"].append(deny if deny else None)
+            rows["crawl_delay_s"].append(delay)
+        return pd.DataFrame(rows)
+
+    schema = (
+        "host string, robots_allow array<string>, robots_deny array<string>, "
+        "crawl_delay_s double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield parse(pdf)
+
+    return robots.select(host_col, body_col).mapInPandas(run, schema)
+
+
 def apply_robots(frontier: DataFrame, politeness: DataFrame) -> DataFrame:
     """Keep URLs allowed by the host's robots rules.
 

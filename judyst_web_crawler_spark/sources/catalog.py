@@ -83,7 +83,14 @@ class SnapshotCatalog:
         if v is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
         dirs = self._read_manifest(name, v)["dirs"]
-        return self.spark.read.parquet(*dirs)
+        if len(dirs) == 1:
+            return self.spark.read.parquet(dirs[0])
+        # multiple snapshot dirs may each carry hive partition subdirs;
+        # per-dir reads + union keep partition discovery rooted correctly
+        out = self.spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(self.spark.read.parquet(d))
+        return out
 
     def _write(self, name: str, df: DataFrame, v_next: int, partition_by: list[str] | None) -> str:
         data_dir = os.path.join(self._tdir(name), "data", f"snap-{v_next}")
