@@ -464,6 +464,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_media_features(media)
 
 
+def q_listing_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 (ksrf.py:108-119): listing-page HTML → header rows with
+    canonical keys (non-SQL HTML parse; rows-only)."""
+    from judyst_web_crawler_spark.functions.extraction import parse_listing_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    row = F.concat(
+        F.lit("<tr><td>13.11.2018</td><td> Заголовок "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </td><td>"),
+        F.col("doc_id").cast("string"),
+        F.lit(" -о/2018<a href=\"/doc/D"),
+        F.col("doc_id").cast("string"),
+        F.lit(".pdf\">pdf</a></td></tr>"),
+    )
+    pages = docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.concat(F.lit("<table>"), row, F.lit("</table>")).alias("html"),
+    )
+    return parse_listing_pages(pages, html_col="html", id_cols=["page_id"])
+
+
 def q_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end frontier slice (SURVEY §7): seeds → seen-filter →
     politeness top-k → extract UDF → snapshot commits. Non-SQL; rows-only."""
@@ -554,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "listing_parse": q_listing_parse,
         "frontier_wave": q_frontier_wave,
     }
 

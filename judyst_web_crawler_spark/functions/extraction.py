@@ -115,6 +115,108 @@ def extracted_text(html_col: Column | str) -> Column:
     return extract_text_udf(c)
 
 
+# --- P1/P2: listing-row projection (ksrf.py:108-119) ---------------------
+
+
+class _ListingRowParser(HTMLParser):
+    """Collect (cells, first-href-per-row) from listing ``<tr>`` rows —
+    the observable shape the reference scrapes from the decisions table
+    (ksrf.py:108-119: date = td0, title = td1.strip, key = td2,
+    url = td2's first anchor)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple[list[str], str | None]] = []
+        self._cells: list[str] | None = None
+        self._buf: list[str] = []
+        self._href: str | None = None
+        self._in_td = False
+        self._in_a = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "tr":
+            self._cells, self._href = [], None
+        elif tag == "td" and self._cells is not None:
+            self._in_td, self._buf = True, []
+        elif tag == "a" and self._in_td:
+            self._in_a = True
+            if self._href is None:
+                for k, v in attrs:
+                    if k == "href":
+                        self._href = v
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+        elif tag == "td" and self._in_td:
+            self._cells.append("".join(self._buf))
+            self._in_td = False
+        elif tag == "tr" and self._cells is not None:
+            if self._cells:
+                self.rows.append((self._cells, self._href))
+            self._cells = None
+
+    def handle_data(self, data):
+        # the key lives in the td's own text; anchor label text is not
+        # part of it (reference reads td text, href separately)
+        if self._in_td and not self._in_a:
+            self._buf.append(data)
+
+
+def parse_listing_rows(markup: str) -> list[dict]:
+    """One listing page → header rows (P1 projection + P2 canonical key):
+    date, title, raw key, canonical key (spaces stripped + upper,
+    ksrf.py:111), decision url."""
+    p = _ListingRowParser()
+    p.feed(markup)
+    p.close()
+    out = []
+    for cells, href in p.rows:
+        if len(cells) < 3:
+            continue
+        key = cells[2]
+        out.append(
+            {
+                "release_date": cells[0],
+                "title": cells[1].strip(),
+                "raw_key": key,
+                "canonical_key": key.replace(" ", "").upper(),
+                "url": href,
+            }
+        )
+    return out
+
+
+LISTING_ROW_SCHEMA = (
+    "release_date string, title string, raw_key string, "
+    "canonical_key string, url string"
+)
+
+
+def parse_listing_pages(df, html_col: str = "html", id_cols: list[str] | None = None):
+    """Distributed P1: explode each listing page's rows (mapInPandas)."""
+    id_cols = id_cols or []
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[html_col]
+                markup = payload if isinstance(payload, str) else decode_payload(payload)
+                for parsed in parse_listing_rows(markup):
+                    parsed.update({c: r[c] for c in id_cols})
+                    rows.append(parsed)
+            yield pd.DataFrame(
+                rows,
+                columns=[*id_cols, "release_date", "title", "raw_key", "canonical_key", "url"],
+            )
+
+    schema = ", ".join(
+        [*(f"{c} long" for c in id_cols), LISTING_ROW_SCHEMA]
+    )
+    return df.mapInPandas(run, schema)
+
+
 # --- S5: zip-of-htm payload (law_codes.py:819-836) -----------------------
 
 

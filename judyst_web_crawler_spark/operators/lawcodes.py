@@ -299,6 +299,32 @@ def walk_contents_trees(df: DataFrame, id_col: str = "doc_id", tree_col: str = "
     return df.select(id_col, tree_col).mapInPandas(run, _TREE_SCHEMA)
 
 
+# --------------------------------------------------------------------- P15
+
+
+def derived_redaction_links(
+    df: DataFrame,
+    base: str = "http://www.consultant.ru",
+    doc_col: str = "rd_doc_number",
+    prev_col: str = "prev_doc_number",
+) -> DataFrame:
+    """P15 (law_codes.py:844-890): synthesize the per-redaction derived
+    URLs (document page, comparison link, additional-info link) from doc
+    numbers — pure ``format_string`` projections, JVM-side."""
+    doc = F.col(doc_col).cast("string")
+    prev = F.col(prev_col).cast("string")
+    return df.withColumns(
+        {
+            "rd_doc_link": F.format_string(base + "/document/cons_doc_LAW_%s/", doc),
+            "redaction_comparison_link": F.when(
+                prev.isNotNull(),
+                F.format_string(base + "/compare/?doc1=%s&doc2=%s", prev, doc),
+            ),
+            "addit_info_link": F.format_string(base + "/document/cons_doc_LAW_%s/add-info/", doc),
+        }
+    )
+
+
 # ------------------------------------------------------------------ J4/J5
 
 
