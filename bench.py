@@ -104,7 +104,9 @@ def bench_frontier(spark, sf: float, n_salts: int = 4) -> dict:
         n_seeds = seeds.count()
 
         cat = SnapshotCatalog(spark, os.path.join(work, "cat"))
-        eng = FrontierEngine(spark, cat, use_bloom=True)
+        # fingerprint_k=128: extract + MinHash128 + SimHash in one Arrow
+        # pass per document — the full crawl + dedup-prep pipeline
+        eng = FrontierEngine(spark, cat, use_bloom=True, fingerprint_k=128)
         t0 = time.monotonic()
         eng.bootstrap(seeds)
         # the skewed giant host holds ~17% of urls; budget n/10 drains it
@@ -113,21 +115,6 @@ def bench_frontier(spark, sf: float, n_salts: int = 4) -> dict:
         # how crawl+fingerprint work parallelizes, not wave cadence)
         budget = int(os.environ.get("SPARK_BENCH_BUDGET", max(1, n_urls // 10)))
         stats = eng.run(pages, budget=budget, n_salts=n_salts, max_waves=12)
-
-        # dedup-prep stage every production crawl runs on its output:
-        # MinHash + SimHash fingerprints per extracted document (the
-        # near-dup signatures the 100 TB pipeline buckets on)
-        from judyst_web_crawler_spark.operators.dedup_fuzzy import (
-            minhash_signatures,
-            simhash_signatures,
-        )
-        from judyst_web_crawler_spark.operators.frontier import DOCS_TABLE
-
-        docs = cat.read(DOCS_TABLE).withColumn(
-            "doc_id", F.xxhash64("url")
-        ).select("doc_id", "text")
-        minhash_signatures(docs, "doc_id", "text", k=128).write.format("noop").mode("overwrite").save()
-        simhash_signatures(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
 
         elapsed = time.monotonic() - t0
         scheduled = sum(s["scheduled"] for s in stats)
@@ -171,13 +158,13 @@ def run_scaling() -> dict:
             os.environ,
             SPARK_GRAFT_CPUS=cpus,
             SPARK_GRAFT_SF_DIR=SF_DIR,
-            # production-shaped per-URL work: ~1.6 KB diverse prose bodies
-            # and the full crawl+fingerprint pipeline over 600k urls, so
-            # the cores parallelize real per-document compute instead of
-            # measuring driver overhead on 0.5 KB unit-test stubs
-            SPARK_BENCH_BODY_REPEATS=os.environ.get("SPARK_BENCH_BODY_REPEATS", "24"),
-            SPARK_BENCH_URLS=os.environ.get("SPARK_BENCH_URLS", "150000"),
-            SPARK_BENCH_BUDGET=os.environ.get("SPARK_BENCH_BUDGET", "150000"),
+            # production-shaped per-URL work: ~13 KB diverse prose pages
+            # (realistic court-document size) through the fused
+            # extract+MinHash128+SimHash pipeline — cores parallelize real
+            # per-document compute, not driver overhead on 0.5 KB stubs
+            SPARK_BENCH_BODY_REPEATS=os.environ.get("SPARK_BENCH_BODY_REPEATS", "120"),
+            SPARK_BENCH_URLS=os.environ.get("SPARK_BENCH_URLS", "50000"),
+            SPARK_BENCH_BUDGET=os.environ.get("SPARK_BENCH_BUDGET", "50000"),
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--frontier-only"],

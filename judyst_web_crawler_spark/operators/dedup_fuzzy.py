@@ -265,6 +265,59 @@ def minhash_near_duplicates(
     return jaccard_verify(pruned, df, id_col, text_col, shingle_n, threshold)
 
 
+def combined_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 128,
+    minhash_shingle_n: int = 5,
+    simhash_shingle_n: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature + SimHash in ONE Arrow pass per document.
+
+    The production crawl computes both per fetched page; fusing them
+    halves the JVM→Python transfers and shares the batch overhead
+    (separate stages would also each re-shuffle the text column). Same
+    outputs as ``minhash_signatures`` + ``simhash_signatures``.
+    """
+    a, b = _minhash_params(k, seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        for pdf in batches:
+            ids, sigs, sims = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes_fast(t, minhash_shingle_n)
+                if len(sh) == 0:
+                    sig = np.full(k, _MERSENNE, dtype=np.uint64).astype(np.int64)
+                else:
+                    prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+                    sig = prod.min(axis=1).astype(np.int64)
+                sh2 = (
+                    sh
+                    if simhash_shingle_n == minhash_shingle_n
+                    else _shingle_hashes_fast(t, simhash_shingle_n)
+                )
+                if len(sh2) == 0:
+                    sim = 0
+                else:
+                    bits = (sh2[:, None] & bitmask) != 0
+                    votes = bits.sum(axis=0) * 2 - len(sh2)
+                    sim = int(
+                        ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+                        .sum(dtype=np.uint64)
+                        .astype(np.int64)
+                    )
+                ids.append(i)
+                sigs.append(sig)
+                sims.append(sim)
+            yield pd.DataFrame({id_col: ids, "signature": sigs, "simhash": sims})
+
+    out_schema = f"{id_col} long, signature array<long>, simhash long"
+    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
 # -------------------------------------------------------------- simhash
 
 

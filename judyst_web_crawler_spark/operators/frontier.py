@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from judyst_web_crawler_spark.functions import canonical as C
-from judyst_web_crawler_spark.functions.extraction import extract_text_udf
+from judyst_web_crawler_spark.functions.extraction import extract_text, extract_text_udf
 from judyst_web_crawler_spark.operators.politeness import apply_robots, budget_topk
 from judyst_web_crawler_spark.operators.seen import (
     bloom_bits_for,
@@ -93,11 +93,16 @@ class FrontierEngine:
         bloom_capacity: int = 1_000_000,
         bloom_bits_per_item: int = 12,
         bloom_k: int = 5,
+        fingerprint_k: int | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.politeness = politeness
         self.use_bloom = use_bloom
+        # fingerprint_k: compute MinHash(k)+SimHash per document IN the
+        # extract pass (one Arrow crossing; no re-read of the docs table
+        # for the dedup-prep stage). None = extraction only.
+        self.fingerprint_k = fingerprint_k
         self._bloom_k = bloom_k
         self._bloom_nbits = bloom_bits_for(bloom_capacity, bloom_bits_per_item)
         self._bloom: np.ndarray | None = None
@@ -226,10 +231,13 @@ class FrontierEngine:
 
         # 5. fetch stand-in + extract (SURVEY §2.1 S3: html column IS the payload)
         fetched = selected.join(pages.select("url", "html"), on="url", how="left")
-        docs = fetched.select(
-            "url", "host", "depth", "page_seq", "intra_page_seq", "key_hash",
-            extract_text_udf(F.col("html")).alias("text"),
-        ).withColumn("wave", F.lit(wave))
+        carry = ["url", "host", "depth", "page_seq", "intra_page_seq", "key_hash"]
+        if self.fingerprint_k:
+            docs = self._extract_and_fingerprint(fetched, carry, wave)
+        else:
+            docs = fetched.select(
+                *carry, extract_text_udf(F.col("html")).alias("text")
+            ).withColumn("wave", F.lit(wave))
         self.catalog.append(DOCS_TABLE, docs)
         # read the COMMITTED snapshot back: one extract pass ran at the
         # append; every commit below reuses the parquet output
@@ -297,6 +305,53 @@ class FrontierEngine:
             "retired": scheduled + dedup_hits + denied_n,
             "elapsed_s": elapsed,
         }
+
+    def _extract_and_fingerprint(self, fetched: DataFrame, carry: list[str], wave: int) -> DataFrame:
+        """Extraction + MinHash(k)+SimHash in ONE mapInPandas pass: the
+        payload crosses JVM→Python once, and the dedup-prep signatures
+        ship with the document row instead of a second full-table scan."""
+        import pandas as pd  # noqa: F401  (executor-side)
+
+        from judyst_web_crawler_spark.operators import dedup_fuzzy as DFZ
+
+        k = self.fingerprint_k
+        a, b = DFZ._minhash_params(k, 42)
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+            for pdf in batches:
+                texts, sigs, sims = [], [], []
+                for payload in pdf["html"]:
+                    text = extract_text(payload)
+                    texts.append(text)
+                    sh = DFZ._shingle_hashes_fast(text, 5)
+                    if len(sh) == 0:
+                        sigs.append(np.full(k, DFZ._MERSENNE, dtype=np.uint64).astype(np.int64))
+                    else:
+                        prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(DFZ._MERSENNE)
+                        sigs.append(prod.min(axis=1).astype(np.int64))
+                    sh2 = DFZ._shingle_hashes_fast(text, 4)
+                    if len(sh2) == 0:
+                        sims.append(0)
+                    else:
+                        bits = (sh2[:, None] & bitmask) != 0
+                        votes = bits.sum(axis=0) * 2 - len(sh2)
+                        sims.append(int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)))
+                out = pdf[carry].copy()
+                out["text"] = texts
+                out["signature"] = sigs
+                out["simhash"] = sims
+                out["wave"] = wave
+                yield out
+
+        schema = (
+            "url string, host string, depth int, page_seq int, intra_page_seq int, "
+            "key_hash long, text string, signature array<long>, simhash long, wave int"
+        )
+        return fetched.select(*carry, "html").mapInPandas(run, schema)
 
     def discover_and_enqueue(self, pages: DataFrame, depth: int) -> int:
         """Multi-depth crawl feed: scan the documents fetched at

@@ -65,6 +65,16 @@ def test_simhash_near_duplicates(spark):
     assert all(not (a in (1, 2, 3) and b in (4, 5, 6)) for a, b in got)
 
 
+def test_combined_fingerprints_match_individual(spark):
+    docs = _docs(spark)
+    comb = {r["doc_id"]: r for r in D.combined_fingerprints(docs, k=64).collect()}
+    mh = {r["doc_id"]: list(r["signature"]) for r in D.minhash_signatures(docs, k=64).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    for doc_id in mh:
+        assert list(comb[doc_id]["signature"]) == mh[doc_id]
+        assert comb[doc_id]["simhash"] == sh[doc_id]
+
+
 def test_jaccard_verify_pairs(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
     out = D.jaccard_verify(pairs, _docs(spark), threshold=0.0).collect()
