@@ -464,6 +464,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_media_features(media)
 
 
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming hourly rollup over the events table
+    (watermark + tumbling window, availableNow drain through the
+    snapshot sink). Non-SQL end-to-end (streaming); rows-only — batch
+    equivalence is pinned separately by events_hourly_rollup's oracle
+    and tests/test_streaming.py."""
+    from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
+    from judyst_web_crawler_spark.streaming import rollup as R
+
+    tmp = tempfile.mkdtemp(prefix="jwcs-streamq-")
+    try:
+        cat = SnapshotCatalog(spark, os.path.join(tmp, "cat"))
+        stream = R.hourly_rollup_stream(
+            R.stream_events(spark, sf_dir, glob="events.parquet")
+        )
+        R.run_to_catalog(stream, cat, "rollup", os.path.join(tmp, "ckpt"))
+        out = cat.read("rollup").select("bucket", "event_type", "n_events", "sum_value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_listing_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2 (ksrf.py:108-119): listing-page HTML → header rows with
     canonical keys (non-SQL HTML parse; rows-only)."""
@@ -577,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
         "listing_parse": q_listing_parse,
+        "stream_rollup": q_stream_rollup,
         "frontier_wave": q_frontier_wave,
     }
 

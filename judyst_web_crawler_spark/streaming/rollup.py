@@ -40,14 +40,17 @@ EVENTS_SCHEMA = (
 )
 
 
-def stream_events(spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA) -> DataFrame:
+def stream_events(
+    spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA, glob: str | None = None
+) -> DataFrame:
     """File-source stream over a parquet directory (new files = new data;
-    the production source is the same with a Kafka/Iceberg reader)."""
-    return (
-        spark.readStream.schema(schema)
-        .parquet(path)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    the production source is the same with a Kafka/Iceberg reader).
+    ``glob`` restricts to matching files when ``path`` is a directory of
+    mixed tables (file sources require a directory, not a file)."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
