@@ -109,6 +109,26 @@ def apply_robots(frontier: DataFrame, politeness: DataFrame) -> DataFrame:
     return joined.filter(allowed & ~denied).drop("_path", "robots_allow", "robots_deny")
 
 
+def budget_from_crawl_delay(
+    politeness: DataFrame, wave_seconds: float, default_budget: int = 1
+) -> DataFrame:
+    """Derive per-host wave budgets from robots Crawl-delay: a host
+    allowing one request per ``d`` seconds gets ``floor(wave_seconds/d)``
+    fetches per wave (≥1). Hosts without a delay keep their configured
+    budget, else ``default_budget``. Output feeds ``budget_topk``."""
+    configured = (
+        F.coalesce(F.col("budget"), F.lit(default_budget))
+        if "budget" in politeness.columns
+        else F.lit(default_budget)
+    )
+    derived = F.when(
+        F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0),
+        F.greatest(F.floor(F.lit(float(wave_seconds)) / F.col("crawl_delay_s")), F.lit(1)),
+    ).otherwise(configured)
+    cols = [c for c in politeness.columns if c != "budget"]
+    return politeness.select(*cols, derived.cast("int").alias("budget"))
+
+
 def budget_topk(
     frontier: DataFrame,
     politeness: DataFrame | None = None,

@@ -86,6 +86,18 @@ def test_unzip_first_member(spark):
     assert got[1]["m"] is None
 
 
+def test_budget_from_crawl_delay(spark):
+    from judyst_web_crawler_spark.operators.politeness import budget_from_crawl_delay
+
+    pol = spark.createDataFrame(
+        [("h1", 4, 2.5), ("h2", 4, None), ("h3", None, 0.1)],
+        "host string, budget int, crawl_delay_s double",
+    )
+    out = {r["host"]: r["budget"] for r in budget_from_crawl_delay(pol, wave_seconds=30).collect()}
+    # 30s wave / 2.5s delay = 12 fetches; no delay → keep configured; 0.1s → 300
+    assert out == {"h1": 12, "h2": 4, "h3": 300}
+
+
 def test_parse_robots_txt(spark):
     body = """
 # comment
