@@ -393,6 +393,26 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, QUERY_VEC, k=10)
 
 
+def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard (word unigrams — SQL-expressible variant; char-
+    shingle Jaccard is the rows-only minhash path): exact set Jaccard of
+    adjacent doc pairs, JVM-side array ops, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""))
+    t = docs.select("doc_id", toks.alias("toks"))
+    a = t.alias("a")
+    b = t.select((F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b")).alias("b")
+    pairs = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect(F.col("toks"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks"), F.col("toks_b")))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return pairs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (non-SQL; rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -588,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_by_lang": q_text_stats_by_lang,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
+        "token_jaccard": q_token_jaccard,
         # law-codes deep parsing
         "article_range_expand": q_article_range_expand,
         "lawcode_split": q_lawcode_split,
@@ -869,6 +890,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
             FROM embeddings
+        """,
+        "token_jaccard": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+                   round(
+                       CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 1.0
+                            ELSE len(list_intersect(a.toks, b.toks))
+                                 / len(list_distinct(list_concat(a.toks, b.toks))) END, 6
+                   ) AS jaccard
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         """,
         "similarity_topk": f"""
             SELECT vec_id, round({cos}, 6) AS cosine
