@@ -413,6 +413,22 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact n² verify (the correctness
+    baseline for the LSH-bucketed path; oracle-checked)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    denom = SIM.l2_norm("vec_a") * SIM.l2_norm("vec_b")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(SIM.dot_product("vec_a", "vec_b") / denom)
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= 0.5
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (non-SQL; rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -431,6 +447,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return SIM.ann_topk(emb, QUERY_VEC, k=10, n_tables=8, bits=8)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means coarse quantizer + nprobe cells;
+    non-SQL iterative training; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.ivf_topk(emb, QUERY_VEC, k=10, n_cells=16, nprobe=6)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         # law-codes deep parsing
         "article_range_expand": q_article_range_expand,
         "lawcode_split": q_lawcode_split,
@@ -616,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -904,6 +931,26 @@ def oracle_sql() -> dict[str, str]:
                                  / len(list_distinct(list_concat(a.toks, b.toks))) END, 6
                    ) AS jaccard
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_near_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+                          THEN 0.0
+                          ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END,
+                     6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+                          THEN 0.0
+                          ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END,
+                     6) >= 0.5
         """,
         "similarity_topk": f"""
             SELECT vec_id, round({cos}, 6) AS cosine

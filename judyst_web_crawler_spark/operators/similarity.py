@@ -149,6 +149,90 @@ def ann_topk(
     return brute_force_topk(cands, query, k, id_col, vec_col)
 
 
+# ----------------------------------------------------------------- IVF
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a deterministic sample.
+
+    The sample (≤``sample`` rows, ordered by id — reproducible) is small
+    by design: centroids are a tiny model trained once driver-side and
+    broadcast; ASSIGNMENT is the distributed part. Lloyd iterations in
+    numpy with seeded init — no RNG state leaks into executors.
+    """
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — nearest-centroid assignment, vectorized per Arrow
+    batch against the broadcast centroid matrix. At 100 TB this is the
+    one full pass; probes then touch only nprobe/n_cells of the data
+    (write the output bucketed by ``cell`` for partition pruning)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids.astype(np.float64))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (mat**2).sum(1)[:, None] - 2 * mat @ cents.T + (cents**2).sum(1)[None, :]
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": d2.argmin(axis=1).astype(np.int32)})
+
+    return df.select(id_col, vec_col).mapInPandas(compute, f"{id_col} long, cell int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only over the ``nprobe``
+    cells nearest the query (the scale path next to LSH ``ann_topk``)."""
+    dim = len(query)
+    cents = train_ivf_centroids(df, dim, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in d2.argsort()[:nprobe]]
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    cand_ids = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
+    cands = df.join(cand_ids, on=id_col, how="left_semi")
+    return brute_force_topk(cands, query, k, id_col, vec_col)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

@@ -44,6 +44,28 @@ def test_ann_recall(spark):
     emb.unpersist()
 
 
+def test_ivf_topk_recall(spark):
+    emb = _emb(spark).cache()
+    q = _query(spark)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=5).collect()}
+    # coarse IVF with generous probes on a small table: high recall
+    approx = {r["vec_id"] for r in S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=4).collect()}
+    assert len(exact & approx) >= 4
+    # nprobe = n_cells degenerates to exact brute force
+    full = {r["vec_id"] for r in S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=8).collect()}
+    assert full == exact
+    emb.unpersist()
+
+
+def test_ivf_assign_partitions_all_rows(spark):
+    emb = _emb(spark)
+    cents = S.train_ivf_centroids(emb, dim=64, n_cells=4)
+    assigned = S.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(4)) and len(cells) >= 2
+
+
 def test_embedding_near_duplicates_finds_planted(spark):
     rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
