@@ -298,6 +298,22 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier margin rollup — broadcast both dims into the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity")), 2).alias("margin"),
+        )
+    )
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style tumbling rollup (streaming-compatible agg shape)."""
     ev = _t(spark, sf_dir, "events")
@@ -622,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
+        "part_supplier_stats": q_part_supplier_stats,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -845,6 +862,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "part_supplier_stats": """
+            SELECT p_brand, s_name, count(*) AS n_lines,
+                   round(sum(l_extendedprice - p_retailprice * l_quantity), 2) AS margin
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY p_brand, s_name
         """,
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS bucket, event_type,

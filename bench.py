@@ -37,6 +37,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
+    "part_supplier_stats",
     "events_hourly_rollup",
     "events_sessionize",
     "events_json_props",
@@ -49,6 +50,8 @@ HEADLINE = [
     "simhash_near_dup",
     "similarity_topk",
     "ann_topk",
+    "ivf_topk",
+    "token_jaccard",
 ]
 
 

@@ -47,6 +47,41 @@ def test_single_host_budget1_reproduces_reference_order(spark):
     assert emitted == reference_order
 
 
+def test_engine_budget1_single_host_reference_order(spark, tmp_path):
+    """Full engine loop at budget=1 on one host: the documents table's
+    wave numbers must reproduce the reference's sequential fetch order
+    (ksrf.py:107-110,188-199) exactly."""
+    from judyst_web_crawler_spark.datagen import pages_df
+    from judyst_web_crawler_spark.operators.frontier import DOCS_TABLE, FrontierEngine
+    from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
+    from pyspark.sql import Window
+
+    pages = pages_df(spark, n_rows=7, n_hosts=1, seed=13).cache()
+    w = Window.orderBy("url")
+    seeds = (
+        pages.select("url")
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .select(
+            "url",
+            (F.floor(F.col("_rn") / 3) + 2).cast("int").alias("page_seq"),
+            F.pmod(F.col("_rn"), 3).cast("int").alias("intra_page_seq"),
+        )
+    )
+    reference_order = [
+        r["url"]
+        for r in seeds.orderBy("page_seq", "intra_page_seq").collect()
+    ]
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    eng = FrontierEngine(spark, cat, use_bloom=False)
+    eng.bootstrap(seeds)
+    eng.run(pages, budget=1, n_salts=1, max_waves=20)
+    docs = cat.read(DOCS_TABLE).orderBy("wave").collect()
+    assert [r["url"] for r in docs] == reference_order
+    # one fetch per wave — the politeness cadence of the sequential loop
+    assert [r["wave"] for r in docs] == list(range(len(reference_order)))
+    pages.unpersist()
+
+
 def test_multi_host_budget_k(spark):
     fr = _frontier(spark, n_hosts=3)
     wave = budget_topk(fr, default_budget=3, n_salts=1)
