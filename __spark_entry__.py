@@ -177,7 +177,15 @@ def q_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emission_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 (ksrf.py:107-110): deterministic emission order as a sort key."""
+    """O1 (ksrf.py:107-110): deterministic emission order as a sort key.
+
+    Uses an unpartitioned window (single-task) deliberately: a GLOBAL
+    dense sequence is the semantic here. At cluster scale the same
+    result comes from a range-partitioned sort + per-partition offsets
+    (sortWithinPartitions + cumulative counts) — the engine's frontier
+    never needs a global sequence (priority keys are enough), so the
+    single-task form only ever runs on small header sets like this one.
+    """
     docs = _t(spark, sf_dir, "documents")
     w = Window.orderBy(F.col("lang").asc(), F.col("n_chars").desc(), F.col("doc_id").asc())
     return docs.select(
