@@ -306,6 +306,77 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic citation-edge table derived from events — the
+    reference's link records (doc_id_from, doc_id_to, citations_number;
+    DatabaseWrapper.py:17,33-37)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.concat(F.lit("D"), F.pmod(F.col("user_id"), F.lit(40)).cast("string")).alias("doc_id_from"),
+            F.concat(F.lit("D"), F.pmod(F.col("event_id"), F.lit(60)).cast("string")).alias("doc_id_to"),
+        )
+        .filter(F.col("doc_id_from") != F.col("doc_id_to"))
+        .groupBy("doc_id_from", "doc_id_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("citations_number"))
+    )
+
+
+def q_citation_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-graph degrees: per document, distinct out/in neighbors
+    and weighted citation counts (full outer of the two aggregates)."""
+    e = _edges(spark, sf_dir)
+    out = e.groupBy(F.col("doc_id_from").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("citations_number").cast("long").alias("out_citations"),
+    )
+    inn = e.groupBy(F.col("doc_id_to").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"),
+        F.sum("citations_number").cast("long").alias("in_citations"),
+    )
+    return (
+        out.join(inn, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("out_citations", F.lit(0)).alias("out_citations"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("in_citations", F.lit(0)).alias("in_citations"),
+        )
+    )
+
+
+def q_top_cited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-cited documents (weighted in-citations)."""
+    e = _edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("doc_id_to").alias("doc_id"))
+        .agg(F.sum("citations_number").cast("long").alias("in_citations"))
+        .orderBy(F.col("in_citations").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs: documents cited by ≥8 common citers (edge
+    self-join on the citing side — the 2-hop graph pattern)."""
+    e = _edges(spark, sf_dir).select("doc_id_from", "doc_id_to")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id_from") == F.col("b.doc_id_from"))
+            & (F.col("a.doc_id_to") < F.col("b.doc_id_to")),
+        )
+        .groupBy(
+            F.col("a.doc_id_to").alias("doc_a"), F.col("b.doc_id_to").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_citers"))
+        .filter(F.col("common_citers") >= 8)
+    )
+
+
 def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part/supplier margin rollup — broadcast both dims into the fact."""
     li = _t(spark, sf_dir, "lineitem")
@@ -647,6 +718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
         "part_supplier_stats": q_part_supplier_stats,
+        "citation_degrees": q_citation_degrees,
+        "top_cited": q_top_cited,
+        "co_citation": q_co_citation,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -870,6 +944,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "citation_degrees": """
+            WITH e AS (
+                SELECT 'D' || (user_id % 40) AS doc_id_from,
+                       'D' || (event_id % 60) AS doc_id_to,
+                       count(*) AS citations_number
+                FROM events
+                WHERE 'D' || (user_id % 40) <> 'D' || (event_id % 60)
+                GROUP BY 1, 2
+            ),
+            o AS (SELECT doc_id_from AS doc_id, count(*) AS out_deg,
+                         sum(citations_number) AS out_citations FROM e GROUP BY 1),
+            i AS (SELECT doc_id_to AS doc_id, count(*) AS in_deg,
+                         sum(citations_number) AS in_citations FROM e GROUP BY 1)
+            SELECT coalesce(o.doc_id, i.doc_id) AS doc_id,
+                   coalesce(out_deg, 0) AS out_deg,
+                   coalesce(out_citations, 0) AS out_citations,
+                   coalesce(in_deg, 0) AS in_deg,
+                   coalesce(in_citations, 0) AS in_citations
+            FROM o FULL OUTER JOIN i ON o.doc_id = i.doc_id
+        """,
+        "top_cited": """
+            WITH e AS (
+                SELECT 'D' || (user_id % 40) AS doc_id_from,
+                       'D' || (event_id % 60) AS doc_id_to,
+                       count(*) AS citations_number
+                FROM events
+                WHERE 'D' || (user_id % 40) <> 'D' || (event_id % 60)
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_to AS doc_id, sum(citations_number) AS in_citations
+            FROM e GROUP BY 1
+            ORDER BY in_citations DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "co_citation": """
+            WITH e AS (
+                SELECT DISTINCT 'D' || (user_id % 40) AS doc_id_from,
+                       'D' || (event_id % 60) AS doc_id_to
+                FROM events
+                WHERE 'D' || (user_id % 40) <> 'D' || (event_id % 60)
+            )
+            SELECT a.doc_id_to AS doc_a, b.doc_id_to AS doc_b,
+                   count(*) AS common_citers
+            FROM e a JOIN e b
+              ON a.doc_id_from = b.doc_id_from AND a.doc_id_to < b.doc_id_to
+            GROUP BY 1, 2 HAVING count(*) >= 8
         """,
         "part_supplier_stats": """
             SELECT p_brand, s_name, count(*) AS n_lines,
