@@ -49,6 +49,7 @@ from judyst_web_crawler_spark.functions import canonical as C
 from judyst_web_crawler_spark.functions.extraction import extract_text, extract_text_udf
 from judyst_web_crawler_spark.operators.politeness import apply_robots, budget_topk
 from judyst_web_crawler_spark.operators.seen import (
+    ShardedBloom,
     bloom_bits_for,
     build_bloom,
     filter_new_exact,
@@ -94,11 +95,20 @@ class FrontierEngine:
         bloom_bits_per_item: int = 12,
         bloom_k: int = 5,
         fingerprint_k: int | None = None,
+        bloom_shards: int | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.politeness = politeness
         self.use_bloom = use_bloom
+        # bloom_shards: hash-range sharded filter (the 10^10-key layout —
+        # executor-side shard merge, range-alignable with the seen table)
+        self._sharded: ShardedBloom | None = None
+        if use_bloom and bloom_shards:
+            per_shard = max(1 << 14, bloom_bits_for(bloom_capacity, bloom_bits_per_item) // bloom_shards)
+            self._sharded = ShardedBloom(n_shards=bloom_shards, bits_per_shard=per_shard, k=bloom_k)
+            if catalog.exists(SEEN_TABLE):
+                self._sharded.add_df(catalog.read(SEEN_TABLE))
         # fingerprint_k: compute MinHash(k)+SimHash per document IN the
         # extract pass (one Arrow crossing; no re-read of the docs table
         # for the dedup-prep stage). None = extraction only.
@@ -107,7 +117,7 @@ class FrontierEngine:
         self._bloom_nbits = bloom_bits_for(bloom_capacity, bloom_bits_per_item)
         self._bloom: np.ndarray | None = None
         self._bloom_bc = None
-        if use_bloom:
+        if use_bloom and not self._sharded:
             if catalog.exists(SEEN_TABLE):
                 # resume: rebuild once from the committed seen set
                 blob = build_bloom(catalog.read(SEEN_TABLE), "key_hash", self._bloom_nbits, bloom_k)
@@ -204,7 +214,9 @@ class FrontierEngine:
         # 2. seen filter (incremental bloom prefilter + exact anti-join)
         if self.catalog.exists(SEEN_TABLE):
             seen = self.catalog.read(SEEN_TABLE)
-            if self.use_bloom:
+            if self._sharded is not None:
+                new = self._sharded.filter_new(pending_u, seen, "key_hash")
+            elif self.use_bloom:
                 new = filter_new_with_bloom(
                     pending_u, seen, "key_hash",
                     self._bloom_broadcast(), self._bloom_nbits, self._bloom_k,
@@ -249,7 +261,9 @@ class FrontierEngine:
             self.catalog.append(SEEN_TABLE, scheduled_keys)
         else:
             self.catalog.overwrite(SEEN_TABLE, scheduled_keys)
-        if self.use_bloom:
+        if self._sharded is not None:
+            self._sharded.add_df(scheduled_keys)
+        elif self.use_bloom:
             self._bloom_add(scheduled_keys)
 
         # 7. done += scheduled ∪ seen-dups ∪ intra-wave dups ∪ robots-denied

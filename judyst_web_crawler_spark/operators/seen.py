@@ -131,6 +131,109 @@ class SeenFilter:
         return definitely_new.unionByName(survivors)
 
 
+class ShardedBloom:
+    """Hash-RANGE sharded bloom over 64-bit keys (north_star: "per-
+    partition shards, merged via treeAggregate").
+
+    Shard id = top ``log2(n_shards)`` bits of the key — a RANGE sharding,
+    so a cluster deployment can co-partition the seen table and the
+    shard blobs on the same ranges and each executor holds only its own
+    range's blob. Shards are built per input partition and OR-merged
+    EXECUTOR-side via ``reduceByKey`` (associative, deterministic) — the
+    driver receives one blob per shard, never per partition. Incremental
+    adds OR new keys into the affected shards only.
+    """
+
+    def __init__(self, n_shards: int = 16, bits_per_shard: int = 1 << 20, k: int = 5):
+        assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+        self.n_shards = n_shards
+        self.shard_bits = int(n_shards).bit_length() - 1
+        self.n_bits = bits_per_shard
+        self.k = k
+        self.blobs: dict[int, np.ndarray] = {
+            s: _empty_bits(bits_per_shard) for s in range(n_shards)
+        }
+
+    # -- shard math -------------------------------------------------------
+
+    def shard_of(self, hashes: np.ndarray) -> np.ndarray:
+        u = hashes.astype(np.int64).view(np.uint64)
+        return (u >> np.uint64(64 - self.shard_bits)).astype(np.int64) if self.shard_bits else np.zeros(len(u), dtype=np.int64)
+
+    # -- build / add ------------------------------------------------------
+
+    def _partition_shards(self, hashes: np.ndarray) -> dict[int, np.ndarray]:
+        out: dict[int, np.ndarray] = {}
+        sh = self.shard_of(hashes)
+        for s in np.unique(sh):
+            bits = _empty_bits(self.n_bits)
+            hs = hashes[sh == s]
+            for pos in _probe_positions(hs, self.n_bits, self.k):
+                _set_bits(bits, pos)
+            out[int(s)] = bits
+        return out
+
+    def add_df(self, df: DataFrame, hash_col: str = "key_hash") -> None:
+        """Executor-side shard build + reduceByKey OR-merge; driver ORs
+        one blob per shard into the running state."""
+        n_bits, k, shard_bits = self.n_bits, self.k, self.shard_bits
+
+        def part_blobs(rows):
+            hs = np.fromiter((r[0] for r in rows), dtype=np.int64)
+            if len(hs) == 0:
+                return
+            u = hs.view(np.uint64)
+            sh = (u >> np.uint64(64 - shard_bits)).astype(np.int64) if shard_bits else np.zeros(len(u), dtype=np.int64)
+            for s in np.unique(sh):
+                bits = _empty_bits(n_bits)
+                for pos in _probe_positions(hs[sh == s], n_bits, k):
+                    _set_bits(bits, pos)
+                yield (int(s), bits.tobytes())
+
+        merged = (
+            df.select(hash_col).rdd.mapPartitions(part_blobs)
+            .reduceByKey(lambda a, b: (np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)).tobytes())
+            .collectAsMap()
+        )
+        for s, blob in merged.items():
+            self.blobs[s] |= np.frombuffer(blob, dtype=np.uint8)
+
+    # -- membership -------------------------------------------------------
+
+    def broadcast(self, spark: SparkSession):
+        return spark.sparkContext.broadcast({s: b.tobytes() for s, b in self.blobs.items()})
+
+    def might_contain_udf(self, spark: SparkSession):
+        bc = self.broadcast(spark)
+        n_bits, k, shard_bits = self.n_bits, self.k, self.shard_bits
+
+        @F.pandas_udf(BooleanType())
+        def might_contain(hashes: pd.Series) -> pd.Series:
+            blobs = {s: np.frombuffer(b, dtype=np.uint8) for s, b in bc.value.items()}
+            h = hashes.to_numpy(dtype=np.int64)
+            u = h.view(np.uint64)
+            sh = (u >> np.uint64(64 - shard_bits)).astype(np.int64) if shard_bits else np.zeros(len(u), dtype=np.int64)
+            hit = np.ones(len(h), dtype=bool)
+            for s in np.unique(sh):
+                mask = sh == s
+                shard_hits = np.ones(mask.sum(), dtype=bool)
+                for pos in _probe_positions(h[mask], n_bits, k):
+                    shard_hits &= _test_bits(blobs[int(s)], pos)
+                hit[mask] = shard_hits
+            return pd.Series(hit)
+
+        return might_contain
+
+    def filter_new(self, candidates: DataFrame, seen_df: DataFrame, hash_col: str = "key_hash") -> DataFrame:
+        """Two-tier: bloom-definite-new ∪ (maybe-seen ANTI JOIN seen)."""
+        mc = self.might_contain_udf(candidates.sparkSession)
+        tagged = candidates.withColumn("_maybe_seen", mc(F.col(hash_col)))
+        definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        survivors = maybe.join(seen_df.select(hash_col).distinct(), on=hash_col, how="left_anti")
+        return definitely_new.unionByName(survivors)
+
+
 def bloom_might_contain_udf(bc, n_bits: int, k: int):
     """Pandas membership-test UDF over a broadcast bloom blob."""
 
