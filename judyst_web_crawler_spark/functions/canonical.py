@@ -70,6 +70,22 @@ def text_location(doc_id: Column | str, ext: str = "txt") -> Column:
     return F.concat(F.regexp_replace(c, "/", "_"), F.lit("." + ext))
 
 
+def canonical_url(url: Column | str) -> Column:
+    """URL canonicalization for the seen-key (engine-added; distinct from
+    the decision-KEY normalization ``canonical_key`` above, which
+    uppercases — paths are case-SENSITIVE on real servers):
+
+    - scheme + host lowercased (case-insensitive per RFC 3986)
+    - fragment stripped (never sent to the server)
+    - path/query preserved byte-for-byte
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.substring_index(c, "#", 1)
+    head = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(no_frag, F.length(head) + 1, F.lit(1 << 30))
+    return F.when(head == "", no_frag).otherwise(F.concat(F.lower(head), rest))
+
+
 def url_host(url: Column | str) -> Column:
     """Engine-added: host for politeness grouping (north_star).
 

@@ -79,13 +79,18 @@ def html_text_content(markup: str) -> str:
 
 def decode_payload(payload: bytes) -> str:
     """utf-8 first; windows-1251 fallback (reference charset recovery,
-    law_codes.py:96-102)."""
+    law_codes.py:96-102); final utf-8-with-replacement guard so one
+    undecodable payload (cp1251 has undefined bytes too, e.g. 0x98)
+    degrades that document instead of killing the whole extract task."""
     if payload is None:
         return None
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:
-        return payload.decode("windows-1251")
+        try:
+            return payload.decode("windows-1251")
+        except UnicodeDecodeError:
+            return payload.decode("utf-8", errors="replace")
 
 
 def extract_text(payload: bytes) -> str:
@@ -140,7 +145,9 @@ class _ListingRowParser(HTMLParser):
             self._in_td, self._buf = True, []
         elif tag == "a" and self._in_td:
             self._in_a = True
-            if self._href is None:
+            # the decision url is td2's FIRST anchor (ksrf.py:110-115) —
+            # links in other cells (e.g. a linked title) must not win
+            if self._href is None and len(self._cells) == 2:
                 for k, v in attrs:
                     if k == "href":
                         self._href = v

@@ -48,7 +48,6 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per fingerprint group."""
     fp = df.withColumn("fingerprint", normalized_fingerprint(text_col))
-    w_min = F.min_by(F.col(id_col), F.col(id_col))
     keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, on=["fingerprint", id_col], how="inner").drop("fingerprint")
 
@@ -265,6 +264,39 @@ def minhash_near_duplicates(
     return jaccard_verify(pruned, df, id_col, text_col, shingle_n, threshold)
 
 
+_SIM_BITMASK = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+_SIM_WEIGHTS = np.arange(64, dtype=np.uint64)
+
+
+def fingerprint_text(
+    text: str,
+    a: np.ndarray,
+    b: np.ndarray,
+    k: int,
+    minhash_shingle_n: int = 5,
+    simhash_shingle_n: int = 4,
+) -> tuple[np.ndarray, int]:
+    """One document's (minhash signature int64[k], simhash int64) — the
+    single normative implementation shared by ``combined_fingerprints``
+    and the frontier's fused extract+fingerprint wave UDF."""
+    sh = _shingle_hashes_fast(text, minhash_shingle_n)
+    if len(sh) == 0:
+        sig = np.full(k, _MERSENNE, dtype=np.uint64).astype(np.int64)
+    else:
+        prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+        sig = prod.min(axis=1).astype(np.int64)
+    sh2 = sh if simhash_shingle_n == minhash_shingle_n else _shingle_hashes_fast(text, simhash_shingle_n)
+    if len(sh2) == 0:
+        sim = 0
+    else:
+        bits = (sh2[:, None] & _SIM_BITMASK) != 0
+        votes = bits.sum(axis=0) * 2 - len(sh2)
+        sim = int(
+            ((votes > 0).astype(np.uint64) << _SIM_WEIGHTS).sum(dtype=np.uint64).astype(np.int64)
+        )
+    return sig, sim
+
+
 def combined_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -284,31 +316,10 @@ def combined_fingerprints(
     a, b = _minhash_params(k, seed)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
         for pdf in batches:
             ids, sigs, sims = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingle_hashes_fast(t, minhash_shingle_n)
-                if len(sh) == 0:
-                    sig = np.full(k, _MERSENNE, dtype=np.uint64).astype(np.int64)
-                else:
-                    prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-                    sig = prod.min(axis=1).astype(np.int64)
-                sh2 = (
-                    sh
-                    if simhash_shingle_n == minhash_shingle_n
-                    else _shingle_hashes_fast(t, simhash_shingle_n)
-                )
-                if len(sh2) == 0:
-                    sim = 0
-                else:
-                    bits = (sh2[:, None] & bitmask) != 0
-                    votes = bits.sum(axis=0) * 2 - len(sh2)
-                    sim = int(
-                        ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
-                        .sum(dtype=np.uint64)
-                        .astype(np.int64)
-                    )
+                sig, sim = fingerprint_text(t, a, b, k, minhash_shingle_n, simhash_shingle_n)
                 ids.append(i)
                 sigs.append(sig)
                 sims.append(sim)

@@ -149,8 +149,8 @@ class FrontierEngine:
         frontier = (
             seeds.withColumn("host", C.url_host("url"))
             .withColumn("depth", F.lit(0))
-            .withColumn("canonical_url", C.canonical_key("url"))
-            .withColumn("key_hash", C.key_hash(C.canonical_key("url")))
+            .withColumn("canonical_url", C.canonical_url("url"))
+            .withColumn("key_hash", C.key_hash(C.canonical_url("url")))
             .select(
                 "url", "host", "depth", "page_seq", "intra_page_seq",
                 "canonical_url", "key_hash",
@@ -163,8 +163,8 @@ class FrontierEngine:
         frontier = (
             seeds.withColumn("host", C.url_host("url"))
             .withColumn("depth", F.lit(depth))
-            .withColumn("canonical_url", C.canonical_key("url"))
-            .withColumn("key_hash", C.key_hash(C.canonical_key("url")))
+            .withColumn("canonical_url", C.canonical_url("url"))
+            .withColumn("key_hash", C.key_hash(C.canonical_url("url")))
             .select(
                 "url", "host", "depth", "page_seq", "intra_page_seq",
                 "canonical_url", "key_hash",
@@ -182,10 +182,57 @@ class FrontierEngine:
         return frontier
 
     def next_wave_id(self) -> int:
-        if not self.catalog.exists(METRICS_TABLE):
-            return 0
-        row = self.catalog.read(METRICS_TABLE).agg(F.max("wave").alias("w")).collect()[0]
-        return (row["w"] if row["w"] is not None else -1) + 1
+        """Max committed wave across metrics AND documents, +1 — metrics
+        commits LAST in a wave, so a crash mid-wave must not reuse the
+        half-committed wave id (the docs rows already carry it)."""
+        w = -1
+        if self.catalog.exists(METRICS_TABLE):
+            row = self.catalog.read(METRICS_TABLE).agg(F.max("wave").alias("w")).collect()[0]
+            w = max(w, row["w"] if row["w"] is not None else -1)
+        if self.catalog.exists(DOCS_TABLE):
+            row = self.catalog.read(DOCS_TABLE).agg(F.max("wave").alias("w")).collect()[0]
+            w = max(w, row["w"] if row["w"] is not None else -1)
+        return w + 1
+
+    def _repair_partial_wave(self) -> None:
+        """Crash recovery (runs once per engine lifetime, before the first
+        wave): the documents append is a wave's FIRST commit, so after a
+        crash some fetched urls may be missing from ``done``/``seen``.
+        Roll those forward — append their retirement and seen rows — so
+        the wave protocol is effectively atomic at the documents commit.
+        """
+        if not self.catalog.exists(DOCS_TABLE):
+            return
+        docs = self.catalog.read(DOCS_TABLE)
+        orphans = docs.select("url", "key_hash", "wave")
+        if self.catalog.exists(DONE_TABLE):
+            orphans = orphans.join(
+                self.catalog.read(DONE_TABLE).select("url"), on="url", how="left_anti"
+            )
+        orphans = orphans.localCheckpoint(eager=True)
+        if orphans.limit(1).count() == 0:
+            return
+        done_rows = orphans.select(
+            "url", F.lit("scheduled").alias("retire_status"), "wave"
+        )
+        if self.catalog.exists(DONE_TABLE):
+            self.catalog.append(DONE_TABLE, done_rows)
+        else:
+            self.catalog.overwrite(DONE_TABLE, done_rows)
+        seen_rows = orphans.select("key_hash", "url", F.col("wave").alias("first_seen_wave"))
+        if self.catalog.exists(SEEN_TABLE):
+            seen_rows = seen_rows.join(
+                self.catalog.read(SEEN_TABLE).select("key_hash").distinct(),
+                on="key_hash",
+                how="left_anti",
+            )
+            self.catalog.append(SEEN_TABLE, seen_rows)
+        else:
+            self.catalog.overwrite(SEEN_TABLE, seen_rows)
+        if self._sharded is not None:
+            self._sharded.add_df(seen_rows)
+        elif self.use_bloom:
+            self._bloom_add(seen_rows)
 
     def run_wave(
         self,
@@ -196,6 +243,9 @@ class FrontierEngine:
     ) -> dict:
         """One politeness-respecting fetch+extract wave. Returns metrics."""
         t0 = time.monotonic()
+        if not getattr(self, "_repaired", False):
+            self._repair_partial_wave()
+            self._repaired = True
         wave = self.next_wave_id() if wave is None else wave
 
         pending = self.pending().localCheckpoint(eager=True)  # cut wave-loop lineage
@@ -241,8 +291,15 @@ class FrontierEngine:
             allowed = apply_robots(allowed, self.politeness)
         selected = budget_topk(allowed, self.politeness, default_budget=budget, n_salts=n_salts)
 
-        # 5. fetch stand-in + extract (SURVEY §2.1 S3: html column IS the payload)
+        # 5. fetch stand-in + extract (SURVEY §2.1 S3: html column IS the
+        # payload). Urls missing from the pages table are fetch MISSES —
+        # they retire with their own status instead of polluting the
+        # documents table with null-text rows masquerading as fetches.
         fetched = selected.join(pages.select("url", "html"), on="url", how="left")
+        fetch_misses = fetched.filter(F.col("html").isNull()).select(
+            "url", F.lit("fetch_miss").alias("retire_status")
+        )
+        fetched = fetched.filter(F.col("html").isNotNull())
         carry = ["url", "host", "depth", "page_seq", "intra_page_seq", "key_hash"]
         if self.fingerprint_k:
             docs = self._extract_and_fingerprint(fetched, carry, wave)
@@ -274,7 +331,7 @@ class FrontierEngine:
         intra_dups = keyed.filter(F.col("_kr") > 1).select(
             "url", F.lit("dup").alias("retire_status")
         )
-        done_new = sched_urls.unionByName(seen_dups).unionByName(intra_dups)
+        done_new = sched_urls.unionByName(seen_dups).unionByName(intra_dups).unionByName(fetch_misses)
         if self.politeness is not None:
             denied = new_first.join(allowed.select("url"), on="url", how="left_anti").select(
                 "url", F.lit("robots_denied").alias("retire_status")
@@ -293,6 +350,7 @@ class FrontierEngine:
         scheduled = status_counts.get("scheduled", 0)
         dedup_hits = status_counts.get("dup", 0)
         denied_n = status_counts.get("robots_denied", 0)
+        miss_n = status_counts.get("fetch_miss", 0)
 
         # 8. per-partition lineage metrics (FIXTURES.md §6)
         elapsed = time.monotonic() - t0
@@ -316,7 +374,8 @@ class FrontierEngine:
             "scheduled": scheduled,
             "dedup_hits": dedup_hits,
             "robots_denied": denied_n,
-            "retired": scheduled + dedup_hits + denied_n,
+            "fetch_misses": miss_n,
+            "retired": scheduled + dedup_hits + denied_n + miss_n,
             "elapsed_s": elapsed,
         }
 
@@ -332,28 +391,14 @@ class FrontierEngine:
         a, b = DFZ._minhash_params(k, 42)
 
         def run(batches):
-            import numpy as np
-            import pandas as pd
-
-            bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
             for pdf in batches:
                 texts, sigs, sims = [], [], []
                 for payload in pdf["html"]:
                     text = extract_text(payload)
                     texts.append(text)
-                    sh = DFZ._shingle_hashes_fast(text, 5)
-                    if len(sh) == 0:
-                        sigs.append(np.full(k, DFZ._MERSENNE, dtype=np.uint64).astype(np.int64))
-                    else:
-                        prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(DFZ._MERSENNE)
-                        sigs.append(prod.min(axis=1).astype(np.int64))
-                    sh2 = DFZ._shingle_hashes_fast(text, 4)
-                    if len(sh2) == 0:
-                        sims.append(0)
-                    else:
-                        bits = (sh2[:, None] & bitmask) != 0
-                        votes = bits.sum(axis=0) * 2 - len(sh2)
-                        sims.append(int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)))
+                    sig, sim = DFZ.fingerprint_text(text, a, b, k)
+                    sigs.append(sig)
+                    sims.append(sim)
                 out = pdf[carry].copy()
                 out["text"] = texts
                 out["signature"] = sigs
@@ -419,6 +464,10 @@ class FrontierEngine:
             stats.append(m)
             if m["retired"] == 0:
                 break  # no progress possible (e.g. budget 0)
+            # long crawls: keep reads O(1) dirs instead of O(waves)
+            for t in (DONE_TABLE, SEEN_TABLE):
+                if self.catalog.exists(t) and self.catalog.n_dirs(t) >= 16:
+                    self.catalog.compact(t)
         return stats
 
     def crawl(

@@ -153,16 +153,20 @@ def budget_topk(
         w = Window.partitionBy("host").orderBy(*priority_order())
         out = df.withColumn("_rank", F.row_number().over(w)).filter(F.col("_rank") <= budget)
     else:
-        df = df.withColumn("_salt", host_salt("url", n_salts))
-        # budget share for shard s: budget//n + (1 if s < budget%n else 0)
-        share = (budget / n_salts).cast("int") + F.when(
-            F.col("_salt") < budget % n_salts, F.lit(1)
+        # a host's effective salt count never exceeds its budget —
+        # otherwise salts >= budget%n would get share 0 and their URLs
+        # (salt is a pure function of url) would starve FOREVER
+        eff = F.greatest(F.least(F.lit(n_salts), budget), F.lit(1))
+        df = df.withColumn("_salt", F.pmod(F.xxhash64("url"), eff).cast("int")).withColumn("_eff", eff)
+        # budget share for shard s: budget//eff + (1 if s < budget%eff)
+        share = (budget / F.col("_eff")).cast("int") + F.when(
+            F.col("_salt") < budget % F.col("_eff"), F.lit(1)
         ).otherwise(F.lit(0))
         w = Window.partitionBy("host", "_salt").orderBy(*priority_order())
         out = (
             df.withColumn("_rank", F.row_number().over(w))
             .filter(F.col("_rank") <= share)
-            .drop("_salt")
+            .drop("_salt", "_eff")
         )
     out = out.drop("_rank")
     return out.drop("budget") if politeness is not None else out

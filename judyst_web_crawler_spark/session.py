@@ -27,7 +27,16 @@ def ship_package(spark: SparkSession) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
     zip_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
-    if not os.path.exists(zip_path):
+    # rebuild whenever any source file is newer than the zip — a stale
+    # zip would ship OLD code to executors while the driver runs new code
+    src_mtime = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                src_mtime = max(src_mtime, os.path.getmtime(os.path.join(root, f)))
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):

@@ -133,5 +133,16 @@ class SnapshotCatalog:
         merged.write.mode("overwrite").parquet(data_dir)
         return self._commit(name, [data_dir], "merge")
 
+    def n_dirs(self, name: str) -> int:
+        v = self.current_version(name)
+        return len(self._read_manifest(name, v)["dirs"]) if v is not None else 0
+
+    def compact(self, name: str) -> int:
+        """Rewrite the current snapshot into ONE data dir. Long append
+        chains otherwise make every read a union of N dirs (task counts
+        grow linearly with commit count); Iceberg's analogue is manifest
+        compaction / rewrite_data_files. Old snapshots stay readable."""
+        return self.overwrite(name, self.read(name))
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
