@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from judyst_web_crawler_spark.functions.canonical import host_salt, url_path
+from judyst_web_crawler_spark.functions.canonical import url_path
 
 PRIORITY_COLS = ["depth", "page_seq", "intra_page_seq"]
 
