@@ -15,7 +15,6 @@ non-SQL-expressible; the driver records a rows-only check for those.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import tempfile
@@ -47,7 +46,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Deterministic 64-dim query vector shared by Spark and the SQL oracle:
 # two-decimal rationals, parsed identically as doubles on both sides.
 QUERY_VEC = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
-_QNORM = math.sqrt(math.fsum(x * x for x in QUERY_VEC))
+# same norm computation as SIM.cosine_to_query (np.linalg.norm) so the
+# oracle literal is bit-identical to the Spark-side literal
+import numpy as _np
+
+_QNORM = float(_np.linalg.norm(QUERY_VEC))
 
 
 # --------------------------------------------------------------------------
@@ -404,9 +407,7 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
-        .drop("n_rows")
     )
 
 
@@ -610,7 +611,6 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot sink). Non-SQL end-to-end (streaming); rows-only — batch
     equivalence is pinned separately by events_hourly_rollup's oracle
     and tests/test_streaming.py."""
-    from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
     from judyst_web_crawler_spark.streaming import rollup as R
 
     tmp = tempfile.mkdtemp(prefix="jwcs-streamq-")
@@ -658,7 +658,7 @@ def q_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("intra_page_seq"),
     )
     tmp = tempfile.mkdtemp(prefix="jwcs-entrywave-")
-    try:
+    try:  # noqa: SIM105
         cat = SnapshotCatalog(spark, tmp)
         eng = FrontierEngine(spark, cat, use_bloom=True)
         eng.bootstrap(seeds)
@@ -667,6 +667,7 @@ def q_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.localCheckpoint(eager=True)
         return docs
     finally:
+        pages.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1008,8 +1009,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": """
             WITH marked AS (
                 SELECT user_id,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                                 OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

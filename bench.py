@@ -121,12 +121,18 @@ def bench_frontier(spark, sf: float, n_salts: int = 4) -> dict:
 
         elapsed = time.monotonic() - t0
         scheduled = sum(s["scheduled"] for s in stats)
+        retired = sum(s.get("retired", 0) for s in stats)
+        drained = scheduled == n_urls
+        # when max_waves truncates the drain, the honest rate divides by
+        # the urls actually processed, not the full seed stream
+        rate_base = n_seeds if drained else retired
         return {
             "n_seed_urls": n_seeds,
             "scheduled": scheduled,
             "waves": len(stats),
+            "drained": drained,
             "elapsed_s": round(elapsed, 2),
-            "urls_per_sec": round(n_seeds / elapsed, 1),
+            "urls_per_sec": round(rate_base / elapsed, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -173,8 +179,13 @@ def run_scaling() -> dict:
             [sys.executable, os.path.abspath(__file__), "--frontier-only"],
             env=env, capture_output=True, text=True, timeout=3600,
         )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)["frontier"]
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling leg local[{cpus}] failed (exit {proc.returncode}); stderr above"
+            )
+        results[cpus] = json.loads(lines[-1])["frontier"]
     lo, hi = levels[0], levels[-1]
     ratio = int(hi) / int(lo)
     tn = results[lo]["urls_per_sec"]

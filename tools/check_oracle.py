@@ -34,6 +34,8 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if _m.isnan(v):
             return "NaN"
+        if v == 0:
+            return "0.0"  # -0.0 (duckdb round) and +0.0 (spark round) unify
         return repr(round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.isoformat()
@@ -67,6 +69,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown query name(s): {unknown}; valid: {sorted(qs)}")
+            return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
