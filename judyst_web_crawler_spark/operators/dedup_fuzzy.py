@@ -19,16 +19,50 @@ no wall-clock, no RNG state.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from judyst_web_crawler_spark.functions.textstats import normalized_fingerprint
 
 _MERSENNE = (1 << 61) - 1
+
+log = logging.getLogger(__name__)
+
+
+def _cap_hot_buckets(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int,
+    what: str,
+) -> DataFrame:
+    """Keep at most ``cap`` members per bucket (deterministic: lowest ids
+    win) before a bucket self-join.
+
+    Without this, one degenerate bucket — boilerplate-heavy corpora put
+    thousands of near-identical docs in the same (band, bucket) — makes
+    the candidate join n² IN THAT BUCKET, the classic LSH skew failure at
+    100 TB. Capping bounds per-bucket pairs at C(cap, 2). A pair dropped
+    here can still collide in any other band/block, so recall loss is
+    confined to pairs whose ONLY collision falls past the cap.
+
+    No silent truncation: the dropped row count is computed and logged
+    (one extra count action — the guard is opt-in via ``bucket_cap``).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    marked = rows.withColumn("_rn", F.row_number().over(w))
+    dropped = marked.filter(F.col("_rn") > cap).count()
+    if dropped:
+        log.warning(
+            "%s: hot-bucket cap=%d dropped %d bucket memberships "
+            "(pairs beyond the cap are not candidates)", what, cap, dropped
+        )
+    return marked.filter(F.col("_rn") <= cap).drop("_rn")
 
 
 # ---------------------------------------------------------------- exact
@@ -150,9 +184,14 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join buckets → candidate pairs
-    (id_a < id_b). bands*rows_per_band must equal the signature length."""
+    (id_a < id_b). bands*rows_per_band must equal the signature length.
+
+    ``bucket_cap`` bounds per-(band, bucket) membership before the
+    self-join (see ``_cap_hot_buckets``) — set it on corpora with heavy
+    boilerplate; dropped volume is logged, never silent."""
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -164,6 +203,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        banded = _cap_hot_buckets(
+            banded, ["band", "bucket"], id_col, bucket_cap, "minhash_lsh_candidates"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -193,7 +236,10 @@ def estimate_filter(
     against the small signature table — at scale this is what keeps the
     exact verifier off the ~n² candidate explosion a shared-vocab corpus
     produces in the band join. ``margin`` ≈ 2.5σ of the k=64 estimator, so
-    the recall loss is negligible relative to LSH banding itself.
+    the recall loss is small but nonzero (~0.6% of true pairs exactly at
+    threshold for k=64) — pass ``margin`` large (e.g. ``threshold``, making
+    the cutoff 0) to disable the prune and verify every LSH candidate
+    exactly.
     """
     sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -257,11 +303,24 @@ def minhash_near_duplicates(
     shingle_n: int = 5,
     threshold: float = 0.7,
     seed: int = 42,
+    margin: float | None = 0.15,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: signatures → band candidates →
+    estimate prune → exact Jaccard verify.
+
+    ``margin=None`` disables the MinHash-estimate prune (every LSH
+    candidate goes to the exact verify — no estimator recall loss, at
+    the cost of exact-verifying ~n² candidates on boilerplate corpora).
+    ``bucket_cap`` bounds per-bucket membership; dropped volume is
+    logged by ``_cap_hot_buckets``."""
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed)
-    pairs = minhash_lsh_candidates(sigs, id_col, bands=bands, rows_per_band=k // bands)
-    pruned = estimate_filter(pairs, sigs, id_col, threshold=threshold)
-    return jaccard_verify(pruned, df, id_col, text_col, shingle_n, threshold)
+    pairs = minhash_lsh_candidates(
+        sigs, id_col, bands=bands, rows_per_band=k // bands, bucket_cap=bucket_cap
+    )
+    if margin is not None:
+        pairs = estimate_filter(pairs, sigs, id_col, threshold=threshold, margin=margin)
+    return jaccard_verify(pairs, df, id_col, text_col, shingle_n, threshold)
 
 
 _SIM_BITMASK = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
@@ -363,10 +422,15 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_n: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Block-technique retrieval: any pair within Hamming distance k must
     agree on ≥1 of k+1 disjoint blocks (pigeonhole) → join per block,
-    verify popcount on candidates only."""
+    verify popcount on candidates only.
+
+    ``bucket_cap`` bounds per-(block, block_val) membership before the
+    self-join (hot-bucket guard, same rationale as the MinHash path);
+    dropped volume is logged, never silent."""
     sigs = simhash_signatures(df, id_col, text_col, shingle_n)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
@@ -382,6 +446,10 @@ def simhash_near_duplicates(
         F.col("simhash"),
         F.posexplode(block_vals).alias("block", "block_val"),
     )
+    if bucket_cap is not None:
+        blocks = _cap_hot_buckets(
+            blocks, ["block", "block_val"], id_col, bucket_cap, "simhash_near_duplicates"
+        )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(

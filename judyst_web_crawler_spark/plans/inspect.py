@@ -68,6 +68,16 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(ids)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    A forced ``F.broadcast`` on a fact-side relation is a scale killer:
+    the hint bypasses the size threshold, so what fits at sf0.1 OOMs at
+    100×. Plans should hint only true dims; auto-broadcast by stats is
+    fine (it degrades to shuffle join when estimates grow)."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
 def python_eval_ops(df: DataFrame) -> int:
     """Arrow/pandas-UDF evaluation operators in the plan — the hot path
     should have exactly as many as the operator intends (usually ≤1)."""

@@ -75,6 +75,48 @@ def test_combined_fingerprints_match_individual(spark):
         assert comb[doc_id]["simhash"] == sh[doc_id]
 
 
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """Adversarial corpus: 1k near-identical docs collapse into one LSH
+    bucket per band → C(1000,2)≈500k candidate pairs uncapped. The cap
+    must bound candidates at ≤ bands·C(cap,2) while a normal corpus's
+    results stay identical with the cap on."""
+    n = 1000
+    boiler = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(BASE * 3).alias("text"),  # byte-identical boilerplate
+    )
+    sigs = D.minhash_signatures(boiler, k=64)
+    uncapped = D.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    capped = D.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, bucket_cap=20)
+    assert uncapped.count() == n * (n - 1) // 2
+    n_capped = capped.count()
+    assert n_capped <= 16 * (20 * 19 // 2)
+    assert n_capped > 0  # still finds pairs among the kept members
+
+    # normal corpus: capping must not change the answer
+    base = {tuple(sorted((r["id_a"], r["id_b"]))) for r in
+            D.minhash_near_duplicates(_docs(spark), threshold=0.6).collect()}
+    with_cap = {tuple(sorted((r["id_a"], r["id_b"]))) for r in
+                D.minhash_near_duplicates(_docs(spark), threshold=0.6, bucket_cap=50).collect()}
+    assert base == with_cap
+
+    sim_base = {tuple(sorted((r["id_a"], r["id_b"]))) for r in
+                D.simhash_near_duplicates(_docs(spark), max_hamming=6).collect()}
+    sim_cap = {tuple(sorted((r["id_a"], r["id_b"]))) for r in
+               D.simhash_near_duplicates(_docs(spark), max_hamming=6, bucket_cap=50).collect()}
+    assert sim_base == sim_cap
+
+
+def test_margin_none_disables_estimate_prune(spark):
+    """margin=None routes every LSH candidate to the exact verifier —
+    the result must be a superset of (or equal to) the pruned path."""
+    pruned = {(r["id_a"], r["id_b"]) for r in
+              D.minhash_near_duplicates(_docs(spark), threshold=0.6).collect()}
+    unpruned = {(r["id_a"], r["id_b"]) for r in
+                D.minhash_near_duplicates(_docs(spark), threshold=0.6, margin=None).collect()}
+    assert pruned <= unpruned
+
+
 def test_jaccard_verify_pairs(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
     out = D.jaccard_verify(pairs, _docs(spark), threshold=0.0).collect()

@@ -72,6 +72,17 @@ def test_canonicalization_stays_in_codegen(spark):
     assert P.wholestage_codegen_spans(q) >= 1
 
 
+def test_q3_no_fact_side_broadcast_hint(spark):
+    """q3 must hint-broadcast ONLY the filtered customer dim. Round 1
+    force-broadcast the orders⋈customer result — fine at sf0.1, OOM at
+    100× (VERDICT r1). Auto-broadcast from size stats is allowed; an
+    explicit hint on a fact-side join result is not."""
+    import __spark_entry__ as E
+
+    q = E.q_q3_top_revenue(spark, SF)
+    assert P.broadcast_hint_count(q) == 1
+
+
 def test_seen_anti_join_single_shuffle_pair(spark):
     """The exact seen filter is one anti-join — no extra exchanges beyond
     the two join inputs (AQE may later fold them)."""

@@ -6,6 +6,15 @@ row count, column names, and an order-insensitive value digest
 (rows stringified, columns sorted by name, rows sorted). Mirrors the
 contract described in the driver stub so mismatches surface before the
 driver's own CORRECTNESS run.
+
+Pandas canonicalization (round-2 lesson): the driver converts BOTH
+result sets through pandas before sorting/hashing, so dtype coercions
+matter — DuckDB ``sum(BIGINT)`` is HUGEINT, which pandas renders as
+float64 (``'164.0'`` vs Spark's ``'164'``), and list-valued cells make
+pandas ``sort_values`` raise. This checker therefore (a) pulls the
+DuckDB side via ``cur.df()`` and the Spark side via ``toPandas()`` so
+the same coercions happen locally, and (b) hard-fails ANY query —
+oracle-backed or rows-only — whose output contains list/array cells.
 """
 
 from __future__ import annotations
@@ -29,21 +38,43 @@ def norm_cell(v) -> str:
     import datetime
     import math as _m
 
+    import numpy as _np
+
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, float):  # covers np.float64 (a float subclass)
         if _m.isnan(v):
             return "NaN"
         if v == 0:
             return "0.0"  # -0.0 (duckdb round) and +0.0 (spark round) unify
         return repr(round(v, 9))
-    if isinstance(v, datetime.datetime):
+    if isinstance(v, _np.integer):
+        return str(int(v))
+    if isinstance(v, datetime.datetime):  # covers pd.Timestamp
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, _np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
+
+
+def unsortable_cells(rows: list[tuple]) -> bool:
+    """True if any cell would crash the driver's pandas sort_values
+    canon (lists/arrays/dicts are unhashable → TypeError)."""
+    import numpy as _np
+
+    for r in rows[:200]:
+        for v in r:
+            if isinstance(v, (list, dict, set, _np.ndarray)):
+                return True
+    return False
+
+
+def pandas_rows(pdf) -> list[tuple]:
+    """pandas DataFrame → list of row tuples, NaT/NaN→None for object
+    cols preserved as-is (norm_cell handles NaN)."""
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def digest(rows: list[tuple], cols: list[str]) -> str:
@@ -82,21 +113,32 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = pandas_rows(sdf.toPandas())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         el = time.monotonic() - t0
+        if unsortable_cells(srows):
+            # the driver canonicalizes EVERY query (rows-only included)
+            # through pandas sort_values; list cells hard-error there.
+            print(f"FAIL  {name}: list/array-valued output cell (driver canon crashes)")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {el:.1f}s)")
             continue
         try:
             cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = cur.df()
+            ocols = list(opdf.columns)
+            orows = pandas_rows(opdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        if unsortable_cells(orows):
+            print(f"FAIL  {name}: list/array-valued oracle cell (driver canon crashes)")
             failures.append(name)
             continue
         problems = []
