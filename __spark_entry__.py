@@ -314,6 +314,82 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: shipping volume between two nations by year.
+    Only NATION (25 rows) is hint-broadcast; supplier/customer/orders
+    stay shuffle joins — they scale with SF, AQE picks the strategy."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp_n = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust_n = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk")).select(
+        "c_custkey", "cust_nation"
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(supp_n, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: one nation's share of a region's yearly volume —
+    conditional aggregation over a 5-way join; nation/region broadcast,
+    fact-side joins left to AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_r = (
+        cust.join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = supp.join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_r, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_6", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic citation-edge table derived from events — the
     reference's link records (doc_id_from, doc_id_to, citations_number;
@@ -613,6 +689,111 @@ def q_lawcode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return article_children(split_documents(law_docs))
 
 
+def _synthetic_saved_htm(docs: DataFrame) -> DataFrame:
+    """Deterministic consultant.ru-style saved-HTM per document, built
+    with JVM string ops so the DuckDB oracle can enumerate the expected
+    split output directly from doc_id."""
+    d = F.col("doc_id").cast("string")
+    htm = F.concat(
+        F.lit(
+            '<div class="co nt en">Содержание</div>\n'
+            '<p><a href="#Par1">Глава 1. Общие положения</a></p>\n'
+            '<p><a href="#Par2">Статья '
+        ),
+        d,
+        F.lit(
+            '. Заголовок</a></p>\n'
+            '<table border="0"><tr><td>конец оглавления</td></tr></table>\n'
+            '<div class="aB cD eF"></div>\n'
+            '<div class="s2B aC bH"><a id="Par1"></a>Глава 1. Общие положения</div>\n'
+            '<div class="aB cD eF"></div>\n'
+            '<div class="s2B aJ bH"><a id="Par2"></a>Статья '
+        ),
+        d,
+        F.lit('. Заголовок</div>\n<div class="s0 aJ bG">(в ред. N '),
+        d,
+        F.lit(
+            '-ФЗ)</div>\n'
+            '<div class="s0 aJ bG">1. Часть первая.</div>\n'
+            '<div class="s0 aJ bG">2. Часть вторая.</div>\n'
+            '<div class="aB cD eF"></div>\n'
+            '<div class="fo ot er">конец документа</div>'
+        ),
+    )
+    return docs.select("doc_id", htm.alias("htm"))
+
+
+def q_lawcode_htm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 reference-faithful: the saved-HTM line-class splitter
+    (law_codes.py:467-514 state machine + :526-565 cleaner, parity with
+    the reference's own functions pinned in tests/test_lawcodes_htm.py)
+    over synthetic saved-HTM; scalar output for the driver canon."""
+    from judyst_web_crawler_spark.operators.lawcodes_htm import split_saved_htm_df
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_saved_htm_df(_synthetic_saved_htm(docs))
+    return out.select(
+        "doc_id", "title", "htm_par_num", "block_type",
+        F.size("lines").cast("long").alias("n_lines"),
+        "cons_note", "redaction_note",
+    )
+
+
+def q_lawcode_children_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4: article part (Ч-n) subheaders from the saved-HTM splitter
+    (law_codes.py:613-698 semantics)."""
+    from judyst_web_crawler_spark.operators.lawcodes_htm import (
+        article_children_htm,
+        split_saved_htm_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = article_children_htm(split_saved_htm_df(_synthetic_saved_htm(docs)))
+    return out.select(
+        "doc_id", "parent_title", "sign", "child_num", "child_title", "text"
+    )
+
+
+def q_header_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: 9-field redaction header build (law_codes.py:759-890) — doc_id
+    path embedding the effective-date sentinel, NULL+flag typing of
+    'не_действовала' (NEVER_EFFECTIVE), derived consultant links with the
+    rd_type-dependent comparison parameter order. All JVM-side."""
+    from judyst_web_crawler_spark.operators.lawcodes_htm import redaction_header_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id"),
+        F.lit("УКРФ_ЧК-1").alias("code_part_key"),
+        F.lit("УКРФ").alias("supertype"),
+        F.concat(F.lit("Редакция "), F.col("doc_id").cast("string")).alias("title"),
+        F.concat(
+            F.lpad((F.pmod(F.col("doc_id"), 28) + 1).cast("string"), 2, "0"),
+            F.lit(".0"), (F.pmod(F.col("doc_id"), 9) + 1).cast("string"),
+            F.lit(".20"), F.lpad(F.pmod(F.col("doc_id"), 25).cast("string"), 2, "0"),
+        ).alias("release_date"),
+        F.when(F.pmod(F.col("doc_id"), 3) == 0, F.lit("не_действовала"))
+        .otherwise(
+            F.concat(
+                F.lpad((F.pmod(F.col("doc_id"), 28) + 2).cast("string"), 2, "0"),
+                F.lit(".0"), (F.pmod(F.col("doc_id"), 9) + 1).cast("string"),
+                F.lit(".20"), F.lpad(F.pmod(F.col("doc_id"), 25).cast("string"), 2, "0"),
+            )
+        ).alias("effective_date_raw"),
+        (F.col("doc_id") + 100000).alias("rd_doc_number"),
+        F.col("doc_id").alias("rd_number"),
+        F.when(F.pmod(F.col("doc_id"), 2) == 0, F.lit("n")).otherwise(F.lit("e")).alias("rd_type"),
+        (F.col("doc_id") + 99999).alias("prev_rd_doc_num"),
+    )
+    out = redaction_header_cols(meta)
+    return out.select(
+        F.col("rd_number"), F.col("doc_id").alias("header_doc_id"), "doc_type",
+        "release_date", "effective_date", "never_effective",
+        "rd_doc_link", "redaction_comparison_link", "unicode_text_link",
+        "changes_review_link", "addit_info_link",
+    )
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash doc fingerprint (non-SQL; rows-only)."""
     docs = _t(spark, sf_dir, "documents")
@@ -745,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
         "part_supplier_stats": q_part_supplier_stats,
         "citation_degrees": q_citation_degrees,
         "top_cited": q_top_cited,
@@ -765,6 +948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # law-codes deep parsing
         "article_range_expand": q_article_range_expand,
         "lawcode_split": q_lawcode_split,
+        "lawcode_htm_split": q_lawcode_htm_split,
+        "lawcode_children_htm": q_lawcode_children_htm,
+        "header_build": q_header_build,
         # non-SQL-expressible (rows-only checks)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -973,6 +1159,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
+        "q7_nation_volume": """
+            WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+                        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+                 cn AS (SELECT c_custkey, n_name AS cust_nation
+                        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+            SELECT supp_nation, cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN sn ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cn ON o_custkey = c_custkey
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1999-12-31 00:00:00'
+              AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+                OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH cr AS (
+                SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA'
+            ),
+            sn AS (SELECT s_suppkey, n_name AS supp_nation
+                   FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_6'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN sn ON l_suppkey = s_suppkey
+            WHERE o_custkey IN (SELECT c_custkey FROM cr)
+            GROUP BY 1
+        """,
         "citation_degrees": """
             WITH e AS (
                 SELECT 'D' || (user_id % 40) AS doc_id_from,
@@ -1071,6 +1295,81 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, title, CAST(n AS VARCHAR) AS article_num
             FROM ranged, unnest(range(lo, hi + 1)) AS t(n)
+        """,
+        "lawcode_split": """
+            WITH t AS (SELECT doc_id, 'Статья ' || doc_id || '. Заголовок' AS st
+                       FROM documents)
+            SELECT doc_id, st AS parent_title, st || '/Ч-1' AS child_id,
+                   'часть' AS kind, 1 AS part_num,
+                   '1. Часть первая нормы.' AS text, FALSE AS lost_force
+            FROM t
+            UNION ALL
+            SELECT doc_id, st, st || '/Ч-2', 'часть', 2,
+                   '2. Часть вторая нормы.', FALSE FROM t
+            UNION ALL
+            SELECT doc_id, st || '/ПРМ', st || '/ПРМ', 'примечание', 0,
+                   'Примечание. Пояснение к статье.', FALSE FROM t
+        """,
+        "lawcode_htm_split": """
+            SELECT doc_id, 'Глава 1. Общие положения' AS title,
+                   '1' AS htm_par_num, 'not СТ' AS block_type,
+                   CAST(1 AS BIGINT) AS n_lines,
+                   CAST(NULL AS VARCHAR) AS cons_note,
+                   CAST(NULL AS VARCHAR) AS redaction_note
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'Статья ' || doc_id || '. Заголовок', '2', 'СТ',
+                   CAST(3 AS BIGINT), CAST(NULL AS VARCHAR),
+                   '(в ред. N ' || doc_id || '-ФЗ)'
+            FROM documents
+        """,
+        "lawcode_children_htm": """
+            WITH t AS (SELECT doc_id, 'Статья ' || doc_id || '. Заголовок' AS st
+                       FROM documents)
+            SELECT doc_id, st AS parent_title, 'Ч-1' AS sign, '1' AS child_num,
+                   'Часть 1' AS child_title, '1. Часть первая.' AS text FROM t
+            UNION ALL
+            SELECT doc_id, st, 'Ч-2', '2', 'Часть 2', '2. Часть вторая.' FROM t
+        """,
+        "header_build": """
+            WITH m AS (
+                SELECT doc_id,
+                       lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '.0'
+                           || CAST(doc_id % 9 + 1 AS VARCHAR) || '.20'
+                           || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0') AS release_date,
+                       CASE WHEN doc_id % 3 = 0 THEN 'не_действовала'
+                            ELSE lpad(CAST(doc_id % 28 + 2 AS VARCHAR), 2, '0') || '.0'
+                                 || CAST(doc_id % 9 + 1 AS VARCHAR) || '.20'
+                                 || lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0') END AS eff_raw,
+                       CAST(doc_id + 100000 AS VARCHAR) AS docn,
+                       CAST(doc_id + 99999 AS VARCHAR) AS prevn,
+                       CASE WHEN doc_id % 2 = 0 THEN 'n' ELSE 'e' END AS rd_type
+                FROM documents
+            )
+            SELECT doc_id AS rd_number,
+                   'УКРФ_ЧК-1/РЕД-N' || doc_id || '-' || eff_raw AS header_doc_id,
+                   'УКРФ/ЧАСТЬ/РЕД' AS doc_type,
+                   release_date,
+                   CASE WHEN eff_raw = 'не_действовала' THEN NULL
+                        ELSE eff_raw END AS effective_date,
+                   eff_raw = 'не_действовала' AS never_effective,
+                   'http://www.consultant.ru/cons/cgi/online.cgi?req=doc&base=LAW&n=' || docn AS rd_doc_link,
+                   CASE WHEN rd_type = 'n'
+                        THEN 'http://www.consultant.ru/cons/cgi/online.cgi?req=doc&base=LAW&div=LAW&n=' || docn || '&diff=' || prevn
+                        ELSE 'http://www.consultant.ru/cons/cgi/online.cgi?req=doc&base=LAW&div=LAW&n=' || prevn || '&diff=' || docn
+                        END AS redaction_comparison_link,
+                   'http://www.consultant.ru/cons/cgi/online.cgi?req=export&type=utxt&base=LAW&n=' || docn AS unicode_text_link,
+                   'http://www.consultant.ru/cons/cgi/online.cgi?req=query&REFDOC=' || docn || '&REFBASE=LAW&mode=chgreview&content=instant' AS changes_review_link,
+                   'http://www.consultant.ru/cons/cgi/online.cgi?req=query&div=LAW&REFDOC=' || docn || '&REFBASE=LAW&REFTYPE=CDLT_DOC_I_BACKREFS&mode=backrefs' AS addit_info_link
+            FROM m
+        """,
+        "listing_parse": """
+            SELECT doc_id AS page_id, '13.11.2018' AS release_date,
+                   'Заголовок ' || doc_id AS title,
+                   doc_id || ' -о/2018' AS raw_key,
+                   doc_id || '-О/2018' AS canonical_key,
+                   '/doc/D' || doc_id || '.pdf' AS url
+            FROM documents
         """,
         "text_token_count": f"""
             SELECT doc_id, {tokens} AS n_tokens FROM documents
