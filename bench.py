@@ -37,6 +37,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
     "part_supplier_stats",
     "events_hourly_rollup",
     "events_sessionize",
@@ -52,6 +54,8 @@ HEADLINE = [
     "ann_topk",
     "ivf_topk",
     "token_jaccard",
+    "embedding_near_dup",
+    "lawcode_htm_split",
 ]
 
 

@@ -83,6 +83,23 @@ def test_q3_no_fact_side_broadcast_hint(spark):
     assert P.broadcast_hint_count(q) == 1
 
 
+def test_q7_q8_plans_dims_only_hints_and_pushdown(spark):
+    """q7/q8: broadcast hints only on true dims (nation/region — fixed
+    25/5 rows at ANY scale); supplier/customer/orders joins carry no hint
+    so they degrade to shuffle joins when stats grow. Date filter reaches
+    the lineitem scan; zero Python ops."""
+    import __spark_entry__ as E
+
+    q7 = E.q_q7_nation_volume(spark, SF)
+    assert P.broadcast_hint_count(q7) == 2  # n1, n2
+    assert P.python_eval_ops(q7) == 0
+    assert any("l_shipdate" in f for f in P.pushed_filters(q7))
+
+    q8 = E.q_q8_market_share(spark, SF)
+    assert P.broadcast_hint_count(q8) == 3  # n1, n2, region
+    assert P.python_eval_ops(q8) == 0
+
+
 def test_seen_anti_join_single_shuffle_pair(spark):
     """The exact seen filter is one anti-join — no extra exchanges beyond
     the two join inputs (AQE may later fold them)."""
