@@ -659,6 +659,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_duplicates(union, dim=64, threshold=0.9, n_tables=8, bits=8)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: near-dup PAIRS → transitive CLUSTERS
+    via distributed min-label propagation (operators/graph.py), with
+    min-id representative — the at-scale generalization of the
+    reference's in-memory dup-group accumulation (ksrf.py:106-142).
+    Edges form deterministic 4-chains (d → d+1 for d%10 ∈ {0,1,2}), so
+    the oracle is closed-form arithmetic over doc_id."""
+    from judyst_web_crawler_spark.operators.graph import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.filter(F.pmod(F.col("doc_id"), 10) <= 2).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return duplicate_clusters(pairs, docs.select("doc_id"))
+
+
 def q_article_range_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 (law_codes.py:383-392): "Статьи N - M" → one row per number."""
     from judyst_web_crawler_spark.operators.lawcodes import expand_article_range
@@ -945,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "dup_clusters": q_dup_clusters,
         # law-codes deep parsing
         "article_range_expand": q_article_range_expand,
         "lawcode_split": q_lawcode_split,
@@ -1295,6 +1312,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, title, CAST(n AS VARCHAR) AS article_num
             FROM ranged, unnest(range(lo, hi + 1)) AS t(n)
+        """,
+        "dup_clusters": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)
+                        ELSE doc_id END AS cluster_id,
+                   CAST(CASE WHEN doc_id % 10 <= 3 THEN 4 ELSE 1 END AS BIGINT)
+                       AS cluster_size,
+                   (doc_id % 10 = 0 OR doc_id % 10 > 3) AS is_representative
+            FROM documents
         """,
         "lawcode_split": """
             WITH t AS (SELECT doc_id, 'Статья ' || doc_id || '. Заголовок' AS st

@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     root = args.catalog or tempfile.mkdtemp(prefix="jwcs-cli-")
     crawler = api.init(spark, root)
     source = crawler.get_data_source("CatalogSource")
+    if source is None:
+        print(f"error: catalog source failed to prepare (root: {root})", file=sys.stderr)
+        return 1
     print(f"catalog: {root}; prepared sources: {sorted(crawler.available_sources)}")
 
     pages = pages_df(spark, n_rows=args.pages, n_hosts=args.hosts).cache()

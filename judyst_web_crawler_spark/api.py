@@ -221,14 +221,35 @@ class CatalogSource(DataSource):
     def put_data(self, doc_id: str, data, data_type: DataType) -> None:
         """Single-item upsert (DatabaseWrapper.put_data :95-134) — dict
         header / text string / link dict, routed through the DataFrame
-        merge."""
+        merge.
+
+        Explicit schemas throughout: the reference accepts partial dicts
+        (``data.get`` per field → DB NULLs), and a schemaless
+        ``createDataFrame`` cannot infer types from a single row with
+        Nones. ``cons_selected_info`` is written in the TABLE's
+        representation (typed struct/map when the engine created the
+        table; JSON string only when the table stores strings or doesn't
+        exist yet) — JSON belongs on the READ boundary
+        (DatabaseWrapper.py:39-41), not inside the table."""
         spark = self.catalog.spark
         if data_type == DataType.DOCUMENT_HEADER:
             row = {"doc_id": doc_id, **{k: data.get(k) for k in DOCUMENT_FIELDS}}
-            csi = row.get("cons_selected_info")
+            csi = row.pop("cons_selected_info", None)
             if csi is not None and not isinstance(csi, str):
-                row["cons_selected_info"] = json.dumps(csi, ensure_ascii=False)
-            df = spark.createDataFrame([row])
+                csi = json.dumps(csi, ensure_ascii=False)
+            scalar_fields = [f for f in DOCUMENT_FIELDS if f != "cons_selected_info"]
+            schema = ", ".join(["doc_id string"] + [f"{f} string" for f in scalar_fields])
+            df = spark.createDataFrame(
+                [tuple([row["doc_id"]] + [row.get(f) for f in scalar_fields])], schema
+            )
+            csi_col = F.lit(csi).cast("string")
+            if self.catalog.exists(HEADERS_TABLE):
+                target = self.catalog.read(HEADERS_TABLE).schema
+                if "cons_selected_info" in target.names:
+                    t = target["cons_selected_info"].dataType
+                    if t.typeName() != "string":
+                        csi_col = F.from_json(F.lit(csi), t)
+            df = df.withColumn("cons_selected_info", csi_col)
             self.put_data_df(df, data_type)
             return
         if data_type == DataType.DOCUMENT_TEXT:
@@ -244,7 +265,12 @@ class CatalogSource(DataSource):
                 row["positions_list"] = [
                     json.dumps(p, ensure_ascii=False) for p in row["positions_list"]
                 ]
-            self.put_data_df(spark.createDataFrame([row]), data_type)
+            df = spark.createDataFrame(
+                [tuple(row.get(f) for f in LINK_FIELDS)],
+                "doc_id_from string, doc_id_to string, "
+                "positions_list array<string>, citations_number long",
+            )
+            self.put_data_df(df, data_type)
             return
         raise ValueError("Not supported data type")
 

@@ -51,11 +51,16 @@ def _cap_hot_buckets(
     here can still collide in any other band/block, so recall loss is
     confined to pairs whose ONLY collision falls past the cap.
 
-    No silent truncation: the dropped row count is computed and logged
-    (one extra count action — the guard is opt-in via ``bucket_cap``).
+    No silent truncation: the dropped row count is computed and logged.
+    The marked bucket table is PERSISTED before the count action so the
+    upstream signature pass (the expensive Arrow stage) runs once, not
+    once for the count and again for the join — and the subsequent
+    bucket SELF-join reads the same persisted table on both sides
+    instead of recomputing it twice. Cache eviction is left to Spark's
+    LRU (the banded table is id+keys only, far smaller than the corpus).
     """
     w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
-    marked = rows.withColumn("_rn", F.row_number().over(w))
+    marked = rows.withColumn("_rn", F.row_number().over(w)).persist()
     dropped = marked.filter(F.col("_rn") > cap).count()
     if dropped:
         log.warning(

@@ -145,10 +145,11 @@ def split_saved_htm(htm: str) -> dict[str, dict]:
     par: str | None = None
     mtype: str | None = None
     done = False
+    prev_state: tuple | None = None
     guard = 0
     while not done:
         guard += 1
-        if guard > len(lines) + 1:  # deviation: reference loops forever
+        if guard > len(lines) + 1:  # belt-and-braces iteration bound
             break
         for i in range(nxt, len(lines)):
             if EMPTY_LINE_RE.match(lines[i]) is not None:
@@ -192,6 +193,16 @@ def split_saved_htm(htm: str) -> dict[str, dict]:
                 "type": mtype,
                 "lines": lines[start:end],
             }
+        # deviation (termination hardening): when a document's LAST line
+        # matches the empty-line class, phase B's `end = j; continue`
+        # branch skips the j == len-1 check and the reference re-scans the
+        # same block forever (O(n²) under the plain iteration bound above,
+        # measured quadratic). A repeated cursor state can only reproduce
+        # the identical record, so break on no progress — O(n) worst case.
+        state = (start, end, cont, nxt, title)
+        if state == prev_state:
+            break
+        prev_state = state
     return result
 
 

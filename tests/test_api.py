@@ -106,6 +106,38 @@ def test_put_link_encodes_positions(source, spark):
     assert json.loads(r["positions_list"][0]) == {"start": 1}
 
 
+def test_put_header_partial_dict_and_typed_table(source):
+    """Reference surface contract: partial header dicts (optional fields
+    None) must upsert cleanly, and the write path must match the TABLE's
+    cons_selected_info representation (typed map here, like engine-written
+    tables) — not force a JSON string into it (round-2 review findings)."""
+    source.put_data(
+        "УКРФ/РЕД-N1/СТ-3",
+        {
+            "supertype": "УКРФ", "doc_type": "УКРФ/СТ",
+            "title": "Статья 3. Новая",
+            # release_date / effective_date / interredaction_id omitted → None
+            "cons_selected_info": {"rd_doc_number": "112"},
+        },
+        A.DataType.DOCUMENT_HEADER,
+    )
+    h = source.get_data("УКРФ/РЕД-N1/СТ-3", A.DataType.DOCUMENT_HEADER)
+    assert h["title"] == "Статья 3. Новая"
+    assert h["effective_date"] is None
+    assert json.loads(h["cons_selected_info"])["rd_doc_number"] == "112"
+    # existing rows survived the merge
+    assert source.get_data("УКРФ/РЕД-N1/СТ-1", A.DataType.DOCUMENT_HEADER) is not None
+
+
+def test_put_link_with_none_positions(source):
+    source.put_data(
+        "", {"doc_id_from": "C", "doc_id_to": "D", "positions_list": None},
+        A.DataType.LINK,
+    )
+    rows = source.get_all_data(A.DataType.LINK).collect()
+    assert {(r["doc_id_from"], r["doc_id_to"]) for r in rows} == {("C", "D")}
+
+
 def test_registry_prepare_and_lookup(source):
     class Failing(A.DataSource):
         def __init__(self):

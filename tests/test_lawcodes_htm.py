@@ -9,7 +9,14 @@ only inside this test — never shipped) with a minimal lxml stub whose
 ``text_content``/``xpath('//div')`` reproduce lxml's observable behavior
 on the flat saved-HTM lines these functions consume, and asserts the
 engine's output equals the reference's on synthetic HTM fixtures.
-"""
+
+Scope of the claim: CONTROL-FLOW parity (block boundaries, line
+classification, deletion/harvest order, subheader derivation) is
+non-circular — the reference's own loops run. The text-extraction layer
+inside both sides goes through ``html_text_content`` (real lxml is not
+installable here), so that layer is pinned separately by GOLDEN literal
+strings: ``test_text_layer_golden_strings`` below and
+tests/test_extraction_parity.py."""
 
 from __future__ import annotations
 
@@ -282,6 +289,57 @@ def test_single_entry_article_has_no_children():
     )
     note, parts = H.split_article_children(H.article_entries(lines))
     assert note is None and parts == []
+
+
+def test_text_layer_golden_strings():
+    """Pin the text layer with literal expectations — lxml text_content
+    behavior on the saved-HTM line shapes (entities, nested tags,
+    numeric charrefs). The parity tests above share html_text_content on
+    both sides, so this is where a text-extraction regression surfaces."""
+    assert (
+        html_text_content('<div class="s0 aJ bG">1. Часть &quot;A&quot; &amp; B.</div>')
+        == '1. Часть "A" & B.'
+    )
+    assert (
+        html_text_content('<div class="s0 aJ bG">до <span>середины</span> после</div>')
+        == "до середины после"
+    )
+    assert html_text_content("<div>&#167; 5 &#x2014; тире</div>") == "§ 5 — тире"
+    assert (
+        H.cons_note_text(
+            '<td class="bD"><div>первый</div><div> второй </div></td>'
+        )
+        == "первый\nвторой"
+    )
+
+
+def test_split_terminates_on_trailing_empty_line():
+    """A document ENDING in an empty-class line makes the reference loop
+    forever (phase B never reaches the j == len-1 branch). The engine
+    must terminate with the same blocks recorded and linear cost."""
+    contents = [
+        '<div class="co nt en">Содержание</div>',
+        '<p><a href="#Par60">Статья 9. Хвост</a></p>',
+        '<table border="0"><tr><td>x</td></tr></table>',
+    ]
+    body = [
+        EMPTY,
+        '<div class="s2B aJ bH"><a id="Par60"></a>Статья 9. Хвост</div>',
+        '<div class="s0 aJ bG">1. Единственная часть.</div>',
+        EMPTY,  # trailing empty line — reference livelocks here
+    ]
+    htm = "\n".join(contents + body)
+    got = H.split_saved_htm(htm)
+    assert set(got) == {"Статья 9. Хвост"}
+    assert got["Статья 9. Хвост"]["type"] == "СТ"
+    # padding with more trailing empties must stay cheap (no O(n²) rescans)
+    big = "\n".join(contents + body + [EMPTY] * 5000)
+    import time
+
+    t0 = time.monotonic()
+    got_big = H.split_saved_htm(big)
+    assert time.monotonic() - t0 < 2.0
+    assert set(got_big) == {"Статья 9. Хвост"}
 
 
 # ----------------------------------------------------------- Spark path

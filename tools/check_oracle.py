@@ -61,14 +61,25 @@ def norm_cell(v) -> str:
 
 def unsortable_cells(rows: list[tuple]) -> bool:
     """True if any cell would crash the driver's pandas sort_values
-    canon (lists/arrays/dicts are unhashable → TypeError)."""
+    canon (lists/arrays/dicts are unhashable → TypeError). Scans EVERY
+    row: an array column that is NULL early and populated later must
+    still be caught."""
     import numpy as _np
 
-    for r in rows[:200]:
+    for r in rows:
         for v in r:
             if isinstance(v, (list, dict, set, _np.ndarray)):
                 return True
     return False
+
+
+def unsortable_schema(sdf) -> bool:
+    """Exact schema-level form of the same check for the Spark side:
+    any ArrayType/MapType/StructType output column crashes the driver
+    canon regardless of which rows are NULL."""
+    return any(
+        f.dataType.typeName() in ("array", "map", "struct") for f in sdf.schema.fields
+    )
 
 
 def pandas_rows(pdf) -> list[tuple]:
@@ -119,7 +130,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
             failures.append(name)
             continue
         el = time.monotonic() - t0
-        if unsortable_cells(srows):
+        if unsortable_schema(sdf) or unsortable_cells(srows):
             # the driver canonicalizes EVERY query (rows-only included)
             # through pandas sort_values; list cells hard-error there.
             print(f"FAIL  {name}: list/array-valued output cell (driver canon crashes)")
