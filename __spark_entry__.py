@@ -659,6 +659,48 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_duplicates(union, dim=64, threshold=0.9, n_tables=8, bits=8)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rules enforcement (north_star; operators/politeness.py
+    apply_robots): allow-prefix must match and no deny-prefix may match;
+    hosts absent from the politeness table default-permit. Even-numbered
+    hosts get allow=['/docs'], deny=['/docs/sub']; paths cycle through 4
+    shapes by doc_id — closed-form SQL oracle."""
+    from judyst_web_crawler_spark.operators.politeness import apply_robots
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.pmod(F.col("doc_id"), 4) == 0, F.concat(F.lit("/docs/a"), d))
+        .when(F.pmod(F.col("doc_id"), 4) == 1, F.concat(F.lit("/private/b"), d))
+        .when(F.pmod(F.col("doc_id"), 4) == 2, F.concat(F.lit("/docs/sub/c"), d))
+        .otherwise(F.concat(F.lit("/tmp/d"), d))
+    )
+    frontier = docs.select(
+        F.col("doc_id"),
+        F.col("source").alias("host"),
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".ru"), path).alias("url"),
+    )
+    pol = (
+        docs.select(F.col("source").alias("host")).distinct()
+        .filter(F.pmod(F.substring("host", 4, 10).cast("int"), 2) == 0)
+        .select(
+            "host",
+            F.array(F.lit("/docs")).alias("robots_allow"),
+            F.array(F.lit("/docs/sub")).alias("robots_deny"),
+        )
+    )
+    return apply_robots(frontier, pol).select("doc_id", "host", "url")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling PLAN (operators/multimodal.py
+    frame_sample_plan): metadata-only explode of every-Nth frame indexes,
+    payloads untouched — the oracle enumerates the same arithmetic."""
+    media = MM.synthetic_media_df(spark, n_rows=200)
+    out = MM.frame_sample_plan(media, every_n=10)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assembly: near-dup PAIRS → transitive CLUSTERS
     via distributed min-label propagation (operators/graph.py), with
@@ -962,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "dup_clusters": q_dup_clusters,
+        "robots_filter": q_robots_filter,
+        "frame_sample": q_frame_sample,
         # law-codes deep parsing
         "article_range_expand": q_article_range_expand,
         "lawcode_split": q_lawcode_split,
@@ -1312,6 +1356,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, title, CAST(n AS VARCHAR) AS article_num
             FROM ranged, unnest(range(lo, hi + 1)) AS t(n)
+        """,
+        "robots_filter": """
+            WITH f AS (
+                SELECT doc_id, source AS host,
+                       CASE doc_id % 4
+                            WHEN 0 THEN '/docs/a' || doc_id
+                            WHEN 1 THEN '/private/b' || doc_id
+                            WHEN 2 THEN '/docs/sub/c' || doc_id
+                            ELSE '/tmp/d' || doc_id END AS path
+                FROM documents
+            )
+            SELECT doc_id, host, 'http://' || host || '.ru' || path AS url
+            FROM f
+            WHERE CAST(substr(host, 4) AS INT) % 2 = 1   -- no rules: permit
+               OR (path LIKE '/docs%' AND path NOT LIKE '/docs/sub%')
+        """,
+        "frame_sample": """
+            SELECT 'm' || doc_id AS media_id, CAST(n AS BIGINT) AS frame_idx
+            FROM documents, unnest(range(0, doc_id % 120 + 1, 10)) AS t(n)
+            WHERE doc_id < 200
         """,
         "dup_clusters": """
             SELECT doc_id,

@@ -246,6 +246,9 @@ def embedding_near_duplicates(
     """Near-dup pairs by embedding cosine ≥ threshold: LSH bucket
     self-join for candidates, exact cosine verify. (id_a < id_b)."""
     sigs = lsh_signatures(df, dim, id_col, vec_col, n_tables, bits, seed)
+    # self-join consumes the signature subplan twice — persist so the
+    # Arrow hyperplane pass runs once (same rationale as the MinHash path)
+    sigs = sigs.persist()
     l, r = sigs.alias("l"), sigs.alias("r")
     pairs = (
         l.join(

@@ -370,6 +370,40 @@ def test_article_children_htm_df(spark):
     assert all(r["parent_title"].startswith("Статья 2") for r in out)
 
 
+def test_header_struct_jsonlines_roundtrip(spark, tmp_path):
+    """X4 → S9/S10: the 9-field typed header struct survives a jsonlines
+    write/read round trip with the cons_selected_info nesting intact
+    (structs in the engine, JSON only at sinks — SURVEY §1.4)."""
+    from pyspark.sql import functions as F
+
+    from judyst_web_crawler_spark.sources.jsonio import write_headers_jsonlines
+
+    meta = spark.createDataFrame(
+        [("УКРФ_ЧК-1", "УКРФ", "Редакция 1", "01.01.2020", "02.01.2020",
+          111, 1, "n", 110)],
+        "code_part_key string, supertype string, title string, "
+        "release_date string, effective_date_raw string, rd_doc_number int, "
+        "rd_number int, rd_type string, prev_rd_doc_num int",
+    )
+    hdr = H.redaction_header_cols(meta).withColumns(
+        {
+            "text_source_url": F.lit("f.htm#Par0"),
+            "attached_titles": F.array(F.lit("Редакция 1"), F.lit("УК РФ")),
+        }
+    )
+    out = hdr.select(F.col("doc_id"), H.header_struct(hdr).alias("header"))
+    path = str(tmp_path / "headers")
+    write_headers_jsonlines(out, path)
+    back = spark.read.json(path)
+    row = back.collect()[0]
+    assert row["doc_id"] == "УКРФ_ЧК-1/РЕД-N1-02.01.2020"
+    h = row["header"]
+    assert h["supertype"] == "УКРФ" and h["effective_date"] == "02.01.2020"
+    assert not h["never_effective"]
+    assert list(h["cons_selected_info"]["attached_titles"]) == ["Редакция 1", "УК РФ"]
+    assert "diff=110" in h["cons_selected_info"]["redaction_comparison_link"]
+
+
 def test_header_build_and_subheader_inheritance(spark):
     from pyspark.sql import functions as F
 
