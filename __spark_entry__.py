@@ -556,6 +556,15 @@ def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 §A1.1 heuristics) as
+    pure Column exprs — word count/length bounds, alphabetic-word ratio,
+    bullet/ellipsis line ratios, combined pass flag."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = T.gopher_quality_flags("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
@@ -999,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_stats_by_lang": q_text_stats_by_lang,
+        "gopher_quality": q_gopher_quality,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1478,6 +1488,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "gopher_quality": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+                       list_filter(regexp_split_to_array(text, '\\n'), x -> trim(x) <> '') AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                           / greatest(len(words), 1) AS mean_word_len,
+                       len(list_filter(words, x -> regexp_matches(x, '[A-Za-zА-Яа-яёЁ]')))
+                           / greatest(len(words), 1) AS alpha_word_ratio,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+                           / greatest(len(lines), 1) AS bullet_line_ratio,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                           / greatest(len(lines), 1) AS ellipsis_line_ratio
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(alpha_word_ratio, 6) AS alpha_word_ratio,
+                   round(bullet_line_ratio, 6) AS bullet_line_ratio,
+                   round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND alpha_word_ratio >= 0.8
+                    AND bullet_line_ratio < 0.9
+                    AND ellipsis_line_ratio < 0.3) AS gopher_pass
+            FROM m
         """,
         "text_stats_by_lang": f"""
             SELECT lang, count(*) AS n_docs,

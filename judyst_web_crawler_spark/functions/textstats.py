@@ -95,6 +95,54 @@ def quality_score(text: Column | str) -> Column:
     return F.floor(raw * 1000000.0 + F.lit(0.5)) / 1000000.0
 
 
+def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics), each as a pure Column expression so the whole
+    filter stays in whole-stage codegen:
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - ≥ 80% of words contain ≥ 1 alphabetic character (latin or cyrillic)
+    - < 90% of lines start with a bullet; < 30% end with an ellipsis
+
+    Returns named Column exprs (ratios + the combined ``passes``) so
+    callers can select any subset; thresholds follow the paper.
+    """
+    t = _c(text)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / nw
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-zА-Яа-яёЁ]"))) / nw
+    )
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))) / nl
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))) / nl
+    )
+    passes = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_word_len >= 3) & (mean_word_len <= 10)
+        & (alpha_ratio >= 0.8)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "alpha_word_ratio": F.round(alpha_ratio, 6),
+        "bullet_line_ratio": F.round(bullet_ratio, 6),
+        "ellipsis_line_ratio": F.round(ellipsis_ratio, 6),
+        "gopher_pass": passes,
+    }
+
+
 def normalized_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of lowercase whitespace-collapsed text —
     the exact-dedup key (hash-groupBy dedup)."""

@@ -291,6 +291,70 @@ def test_single_entry_article_has_no_children():
     assert note is None and parts == []
 
 
+def _random_htm(rng) -> str:
+    """Random-but-valid saved-HTM from the line-class alphabet: every
+    heading's Par id appears in the contents, the document never ends on
+    an empty-class line (the reference livelocks there), and bodies mix
+    article text, parts, notes, redaction notes, tables and empties."""
+    n_blocks = rng.randint(1, 5)
+    contents = ['<div class="co nt en">Содержание</div>']
+    body = []
+    for b in range(n_blocks):
+        par = 10 * (b + 1)
+        kind = rng.choice(["art", "head"])
+        title = (f"Статья {b + 1}. Б{b}" if kind == "art" else f"Глава {b + 1}. Б{b}")
+        contents.append(f'<p><a href="#Par{par}">{title}</a></p>')
+        prefix = '<div class="s2B aJ bH' if kind == "art" else '<div class="s2B aC bH'
+        body.append(EMPTY)
+        body.append(f'{prefix}"><a id="Par{par}"></a>{title}</div>')
+        for _ in range(rng.randint(0, 6)):
+            roll = rng.random()
+            if roll < 0.35:
+                num = rng.randint(1, 9)
+                body.append(f'<div class="s0 aJ bG">{num}. Часть номер {num}.</div>')
+            elif roll < 0.5:
+                body.append('<div class="s0 aJ bG">Просто абзац текста.</div>')
+            elif roll < 0.6:
+                body.append('<div class="s0 aJ bG">(в ред. закона N 1-ФЗ)</div>')
+            elif roll < 0.7:
+                body.append('<td class="bD"><div>прим. конс.</div></td>')
+            elif roll < 0.8:
+                body.append('<div class="s0 aJ bG">Примечание. Пояснение.</div>')
+            elif roll < 0.9:
+                body.append('<table border="0">')
+                body.append('<tr style="x"><td>строка</td></tr>')
+            else:
+                body.append(EMPTY)
+    contents.append('<table border="0"><tr><td>x</td></tr></table>')
+    body.append(EMPTY)
+    body.append('<div class="fo ot er">конец</div>')
+    return "\n".join(contents + body)
+
+
+def test_fuzz_split_and_clean_parity(ref):
+    """50 seeded random documents through BOTH implementations: the
+    split blocks AND the cleaned lines + harvested notes must be equal.
+    This is the property-based extension of the fixture parity above."""
+    import random
+
+    for seed in range(50):
+        rng = random.Random(seed)
+        htm = _random_htm(rng)
+        mine = H.split_saved_htm(htm)
+        theirs = ref._BaseCode.split_saved_htm(htm)
+        assert set(mine) == set(theirs), f"seed {seed}"
+        for t in theirs:
+            assert mine[t]["lines"] == theirs[t]["lines"], f"seed {seed}: {t}"
+            assert mine[t]["htm_par_num"] == theirs[t]["htmParNum"], f"seed {seed}: {t}"
+            assert mine[t]["type"] == theirs[t]["type"], f"seed {seed}: {t}"
+        ref._BaseCode.clear_splitted_htm_and_get_plus_add_cons_notes(theirs)
+        for t in theirs:
+            lines, cons, rd = H.clean_block(mine[t]["lines"])
+            assert lines == theirs[t]["lines"], f"seed {seed}: {t}"
+            assert cons == theirs[t].get("cons_note"), f"seed {seed}: {t}"
+            assert rd == theirs[t].get("redaction_note"), f"seed {seed}: {t}"
+
+
 def test_text_layer_golden_strings():
     """Pin the text layer with literal expectations — lxml text_content
     behavior on the saved-HTM line shapes (entities, nested tags,

@@ -45,3 +45,26 @@ def test_fingerprints(spark):
     by_id_h = {r["doc_id"]: r["h"] for r in rh}
     for r in df.collect():
         assert by_id_h[r["doc_id"]] == T.rolling_hash_py(r["text"])
+
+
+def test_gopher_quality_flags(spark):
+    from pyspark.sql import functions as F
+
+    from judyst_web_crawler_spark.functions.textstats import gopher_quality_flags
+
+    good = ("суд рассмотрел жалобу гражданина на решение нижестоящей инстанции "
+            "и установил что доводы заявителя подлежат проверке в полном объёме ") * 5
+    bullets = "\n".join(f"- пункт {i}" for i in range(20))
+    short = "слишком коротко"
+    numbers = " ".join(str(i) for i in range(120))  # words without letters
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, short), (4, numbers)],
+        "doc_id long, text string",
+    )
+    flags = gopher_quality_flags("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()]).collect()}
+    assert out[1]["gopher_pass"]
+    assert not out[2]["gopher_pass"] and out[2]["bullet_line_ratio"] == 1.0
+    assert not out[3]["gopher_pass"] and out[3]["n_words"] == 2
+    assert not out[4]["gopher_pass"] and out[4]["alpha_word_ratio"] == 0.0
