@@ -565,6 +565,29 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(n) for n, c in flags.items()])
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule line cleaning (Raffel et al. 2020 §2.2 heuristics) over a
+    deterministic noisy variant of each document: text + an injected
+    boilerplate/code/short-line tail that the filter must strip."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.col("text"),
+        F.lit(
+            "\nfunction f() { return 1; }\n"
+            "коротко\n"
+            "Настоящая строка завершается точкой и остаётся в корпусе.\n"
+            "включите javascript для просмотра.\n"
+        ),
+    )
+    flags = T.c4_clean_lines(noisy)
+    return docs.select(
+        "doc_id",
+        F.md5(flags["clean_text"]).alias("clean_md5"),
+        flags["n_lines_kept"].alias("n_lines_kept"),
+        flags["n_lines_dropped"].alias("n_lines_dropped"),
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
@@ -1009,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_stats_by_lang": q_text_stats_by_lang,
         "gopher_quality": q_gopher_quality,
+        "c4_clean": q_c4_clean,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1521,6 +1545,38 @@ def oracle_sql() -> dict[str, str]:
                     AND bullet_line_ratio < 0.9
                     AND ellipsis_line_ratio < 0.3) AS gopher_pass
             FROM m
+        """,
+        "c4_clean": """
+            WITH n AS (
+                SELECT doc_id,
+                       text || chr(10) || 'function f() { return 1; }'
+                            || chr(10) || 'коротко'
+                            || chr(10) || 'Настоящая строка завершается точкой и остаётся в корпусе.'
+                            || chr(10) || 'включите javascript для просмотра.'
+                            || chr(10) AS noisy
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(noisy, '\\n'),
+                                   x -> trim(x) <> '') AS lines
+                FROM n
+            ),
+            k AS (
+                SELECT doc_id, lines,
+                       list_filter(lines, x ->
+                           regexp_matches(trim(x), '[.!?"»]$')
+                           AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                               w -> w <> '')) >= 3
+                           AND NOT regexp_matches(lower(x), '[{}]|javascript|lorem ipsum')
+                       ) AS kept
+                FROM l
+            )
+            SELECT doc_id,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
+            FROM k
         """,
         "text_stats_by_lang": f"""
             SELECT lang, count(*) AS n_docs,

@@ -48,6 +48,8 @@ HEADLINE = [
     "seen_anti_join",
     "text_quality",
     "text_fingerprint",
+    "gopher_quality",
+    "c4_clean",
     "minhash_near_dup",
     "simhash_near_dup",
     "similarity_topk",

@@ -143,6 +143,32 @@ def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
     }
 
 
+def c4_clean_lines(text: Column | str, min_words: int = 3) -> dict[str, Column]:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — public
+    heuristics), JVM-side:
+
+    - keep only lines that end in a terminal punctuation mark
+      (``. ! ? "``, or the Russian quote ``»``);
+    - drop lines with fewer than ``min_words`` words;
+    - drop lines containing a curly brace (code) or the word
+      ``javascript`` / the placeholder ``lorem ipsum`` (case-insensitive).
+
+    Returns ``clean_text`` (kept lines re-joined), ``n_lines_kept``,
+    ``n_lines_dropped`` — dropped volume is a column, never silent.
+    """
+    t = _c(text)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    terminal = lambda x: F.trim(x).rlike(r'[.!?"»]$')  # noqa: E731
+    wordy = lambda x: F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= min_words  # noqa: E731
+    boiler = lambda x: F.lower(x).rlike(r"\{|\}|javascript|lorem ipsum")  # noqa: E731
+    kept = F.filter(lines, lambda x: terminal(x) & wordy(x) & ~boiler(x))
+    return {
+        "clean_text": F.array_join(kept, "\n"),
+        "n_lines_kept": F.size(kept).cast("long"),
+        "n_lines_dropped": (F.size(lines) - F.size(kept)).cast("long"),
+    }
+
+
 def normalized_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of lowercase whitespace-collapsed text —
     the exact-dedup key (hash-groupBy dedup)."""

@@ -68,3 +68,26 @@ def test_gopher_quality_flags(spark):
     assert not out[2]["gopher_pass"] and out[2]["bullet_line_ratio"] == 1.0
     assert not out[3]["gopher_pass"] and out[3]["n_words"] == 2
     assert not out[4]["gopher_pass"] and out[4]["alpha_word_ratio"] == 0.0
+
+
+def test_c4_clean_lines(spark):
+    from pyspark.sql import functions as F
+
+    from judyst_web_crawler_spark.functions.textstats import c4_clean_lines
+
+    text = (
+        "Первая строка завершается точкой и длинная.\n"
+        "function f() { return 1; }\n"
+        "коротко.\n"                     # terminal punct but <3 words
+        "строка без терминальной пунктуации\n"
+        "включите javascript чтобы продолжить.\n"
+        "Вторая хорошая строка тоже остаётся!\n"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    flags = c4_clean_lines("text")
+    r = df.select(*[c.alias(n) for n, c in flags.items()]).collect()[0]
+    assert r["clean_text"] == (
+        "Первая строка завершается точкой и длинная.\n"
+        "Вторая хорошая строка тоже остаётся!"
+    )
+    assert r["n_lines_kept"] == 2 and r["n_lines_dropped"] == 4
