@@ -241,15 +241,33 @@ class FrontierEngine:
         n_salts: int = 1,
         wave: int | None = None,
     ) -> dict:
-        """One politeness-respecting fetch+extract wave. Returns metrics."""
+        """One politeness-respecting fetch+extract wave. Returns metrics
+        (including a ``t_*`` per-stage wall breakdown for tuning)."""
         t0 = time.monotonic()
+        timings: dict[str, float] = {}
+        _last = t0
+
+        def mark(stage: str) -> None:
+            nonlocal _last
+            now = time.monotonic()
+            timings[f"t_{stage}"] = round(now - _last, 3)
+            _last = now
+
         if not getattr(self, "_repaired", False):
             self._repair_partial_wave()
             self._repaired = True
-        wave = self.next_wave_id() if wave is None else wave
+        if wave is None:
+            # derive from the catalog ONCE per engine lifetime (two agg
+            # jobs); subsequent waves increment locally — the catalog
+            # re-derivation only matters across process restarts, where a
+            # fresh engine reads it again anyway
+            cached = getattr(self, "_next_wave", None)
+            wave = cached if cached is not None else self.next_wave_id()
+        mark("waveid")
 
         pending = self.pending().localCheckpoint(eager=True)  # cut wave-loop lineage
         n_pending = pending.count()
+        mark("pending")
         if n_pending == 0:
             return {"wave": wave, "frontier_pending": 0, "scheduled": 0, "retired": 0, "elapsed_s": 0.0}
 
@@ -278,6 +296,7 @@ class FrontierEngine:
         # materialize once: the politeness chain, the dup-retirement
         # anti-join, and the fetch stage all branch from ``new``
         new = new.localCheckpoint(eager=True)
+        mark("seen_filter")
 
         # 3. first-wins per canonical key WITHIN the wave (D1): one fetch
         # per key, best priority survives; later-priority keys retire as dups
@@ -308,6 +327,7 @@ class FrontierEngine:
                 *carry, extract_text_udf(F.col("html")).alias("text")
             ).withColumn("wave", F.lit(wave))
         self.catalog.append(DOCS_TABLE, docs)
+        mark("extract_commit")
         # read the COMMITTED snapshot back: one extract pass ran at the
         # append; every commit below reuses the parquet output
         docs_c = self.catalog.read(DOCS_TABLE).filter(F.col("wave") == wave)
@@ -322,6 +342,7 @@ class FrontierEngine:
             self._sharded.add_df(scheduled_keys)
         elif self.use_bloom:
             self._bloom_add(scheduled_keys)
+        mark("seen_commit")
 
         # 7. done += scheduled ∪ seen-dups ∪ intra-wave dups ∪ robots-denied
         sched_urls = docs_c.select("url", F.lit("scheduled").alias("retire_status"))
@@ -342,6 +363,7 @@ class FrontierEngine:
             self.catalog.append(DONE_TABLE, done_new)
         else:
             self.catalog.overwrite(DONE_TABLE, done_new)
+        mark("done_commit")
 
         status_counts = {
             r["retire_status"]: r["n"]
@@ -368,6 +390,9 @@ class FrontierEngine:
             self.catalog.append(METRICS_TABLE, part_metrics)
         else:
             self.catalog.overwrite(METRICS_TABLE, part_metrics)
+        mark("metrics_commit")
+        # bump only after every commit of this wave succeeded
+        self._next_wave = wave + 1
         return {
             "wave": wave,
             "frontier_pending": n_pending,
@@ -377,6 +402,7 @@ class FrontierEngine:
             "fetch_misses": miss_n,
             "retired": scheduled + dedup_hits + denied_n + miss_n,
             "elapsed_s": elapsed,
+            **timings,
         }
 
     def _extract_and_fingerprint(self, fetched: DataFrame, carry: list[str], wave: int) -> DataFrame:
