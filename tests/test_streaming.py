@@ -118,3 +118,72 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sessionize_tws_equals_batch(spark, tmp_path):
+    """Spark-4 transformWithState variant: same sessions as the
+    applyInPandasWithState path and the batch window oracle, across two
+    micro-batch rounds with a restart. Needs the RocksDB state store."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs the protobuf state-server protocol "
+        "(not shipped in this container; applyInPandasWithState path covers "
+        "stateful streaming here)",
+    )
+    src = str(tmp_path / "events3")
+    ckpt = str(tmp_path / "ckpt3")
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat3"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _events(spark, 0, 300).write.mode("append").parquet(src)
+        R.run_to_catalog(
+            R.sessionize_stream_tws(R.stream_events(spark, src)),
+            cat, "sessions_tws", ckpt, mode="update",
+        )
+        _events(spark, 300, 300).write.mode("append").parquet(src)
+        R.run_to_catalog(
+            R.sessionize_stream_tws(R.stream_events(spark, src)),
+            cat, "sessions_tws", ckpt, mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    final = (
+        cat.read("sessions_tws")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in final.collect()}
+
+    all_events = spark.read.parquet(src)
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    marked = all_events.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(wb)).isNull()
+            | ((epoch - F.lag(epoch).over(wb)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in marked.groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
