@@ -749,6 +749,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs, docs.select("doc_id"))
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assembly as ``dup_clusters`` but through the
+    large-star/small-star contraction path (Kiveris et al. 2014) —
+    O(log n) rounds regardless of component diameter, the variant that
+    survives adversarial long-chain dup graphs at 100 TB. Identical
+    output contract, so the same closed-form oracle applies."""
+    from judyst_web_crawler_spark.operators.graph import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.filter(F.pmod(F.col("doc_id"), 10) <= 2).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return duplicate_clusters(pairs, docs.select("doc_id"), strategy="star")
+
+
 def q_article_range_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 (law_codes.py:383-392): "Статьи N - M" → one row per number."""
     from judyst_web_crawler_spark.operators.lawcodes import expand_article_range
@@ -1038,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_star": q_dup_clusters_star,
         "robots_filter": q_robots_filter,
         "frame_sample": q_frame_sample,
         # law-codes deep parsing
@@ -1412,6 +1428,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < 200
         """,
         "dup_clusters": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)
+                        ELSE doc_id END AS cluster_id,
+                   CAST(CASE WHEN doc_id % 10 <= 3 THEN 4 ELSE 1 END AS BIGINT)
+                       AS cluster_size,
+                   (doc_id % 10 = 0 OR doc_id % 10 > 3) AS is_representative
+            FROM documents
+        """,
+        "dup_clusters_star": """
             SELECT doc_id,
                    CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)
                         ELSE doc_id END AS cluster_id,

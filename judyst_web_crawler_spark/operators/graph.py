@@ -6,16 +6,23 @@ representative per transitive group ("A~B, B~C ⇒ keep one of {A,B,C}").
 The reference's analogue is the in-memory dup-group accumulation of its
 listing dedup (ksrf.py:106-142) — this is the at-scale generalization.
 
-Algorithm: iterative min-label propagation over the symmetrized edge
-set. Each round every node takes the minimum label among itself and its
-neighbors; convergence in O(graph diameter) rounds. Near-dup clusters
-are short chains/cliques (diameter ≲ 8), so the round count is small and
-each round is ONE shuffle join + ONE aggregation — all JVM-side. Labels
-are ``localCheckpoint``-ed per round to truncate the lineage (otherwise
-the plan doubles every iteration). For adversarial long-chain graphs the
-literature's large-star/small-star contraction halves diameter per round;
-the hook is the ``max_iters`` guard raising instead of silently emitting
-a non-converged labeling.
+Two algorithms, picked by graph shape:
+
+- **min-label propagation** — each round every node takes the minimum
+  label among itself and its neighbors; O(diameter) rounds, one shuffle
+  join + one aggregation per round. Near-dup clusters are short
+  chains/cliques (diameter ≲ 8), so this is the fast path.
+- **large-star / small-star contraction** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", 2014 — public) — alternating
+  rounds rewire every node to its neighborhood minimum, halving
+  component diameter per pair of rounds: O(log n) rounds on adversarial
+  long chains where label propagation needs O(n).
+
+``connected_components`` defaults to the label path and FALLS BACK to
+star contraction if the diameter guard trips, so callers never receive
+a non-converged labeling. All rounds are JVM-side joins/aggregations;
+per-round ``localCheckpoint`` truncates the lineage (otherwise the plan
+doubles every iteration).
 """
 
 from __future__ import annotations
@@ -28,12 +35,103 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive hash) — cheap convergence check for
+    the star rounds (hash collision would only DELAY convergence by one
+    extra identical round, never corrupt the result, because a fixpoint
+    of the star operators is stable)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to the minimum of u's
+    neighborhood (incl. u)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint; connect every smaller
+    neighbor (and u itself) to the minimum."""
+    orient = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = orient.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = (
+        orient.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return rewired
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    edge_cols: tuple[str, str] = ("id_a", "id_b"),
+    node_col: str = "node",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """(node, cluster_id) via large-star/small-star contraction —
+    O(log n) rounds on any graph shape. Same output contract as
+    ``connected_components``."""
+    a, b = edge_cols
+    cur = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = _edge_fingerprint(cur)
+    for rnd in range(max_rounds):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            log.info("connected_components_star converged after %d rounds", rnd + 1)
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edges are stars (node → component min)
+    labels = cur.select(F.col("src").alias(node_col), F.col("dst").alias("cluster_id"))
+    roots = cur.select(F.col("dst").alias(node_col)).distinct().select(
+        node_col, F.col(node_col).alias("cluster_id")
+    )
+    labels = labels.unionByName(roots)
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).alias(node_col)).distinct()
+        singletons = universe.join(labels.select(node_col), on=node_col, how="left_anti")
+        labels = labels.unionByName(
+            singletons.select(node_col, F.col(node_col).alias("cluster_id"))
+        )
+    return labels.dropDuplicates([node_col])
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     edge_cols: tuple[str, str] = ("id_a", "id_b"),
     node_col: str = "node",
     max_iters: int = 50,
+    fallback: bool = True,
 ) -> DataFrame:
     """(node, cluster_id) — cluster_id = min node id reachable from node.
 
@@ -42,6 +140,11 @@ def connected_components(
     nodes appear as singleton clusters (pass the corpus ids for dedup:
     un-paired documents are their own cluster). Deterministic: min-label
     over a deterministic edge set.
+
+    If the diameter guard trips (graph has a chain longer than
+    ``max_iters``) and ``fallback`` is True, re-runs the computation with
+    :func:`connected_components_star` (O(log n) rounds on any shape)
+    instead of raising — callers always receive a converged labeling.
     """
     a, b = edge_cols
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
@@ -80,6 +183,15 @@ def connected_components(
         if changed == 0:
             log.info("connected_components converged after %d rounds", it + 1)
             return labels
+    if fallback:
+        log.warning(
+            "connected_components hit the %d-round diameter guard; "
+            "falling back to large-star/small-star contraction",
+            max_iters,
+        )
+        return connected_components_star(
+            edges, nodes=nodes, edge_cols=edge_cols, node_col=node_col
+        )
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "graph diameter exceeds the guard; raise max_iters or pre-contract"
@@ -91,12 +203,16 @@ def duplicate_clusters(
     corpus_ids: DataFrame,
     edge_cols: tuple[str, str] = ("id_a", "id_b"),
     id_col: str = "doc_id",
+    strategy: str = "label",
 ) -> DataFrame:
     """Near-dup pairs + corpus → (doc_id, cluster_id, cluster_size,
     is_representative). The canonical keep-policy: representative = min
     id per cluster (the reference's first-wins choice, ksrf.py:115-119,
-    generalized transitively)."""
-    comp = connected_components(
+    generalized transitively). ``strategy``: "label" (O(diameter)
+    rounds, fast for shallow near-dup clusters, auto-falls-back) or
+    "star" (large-star/small-star, O(log n) rounds on any shape)."""
+    cc = connected_components_star if strategy == "star" else connected_components
+    comp = cc(
         pairs, nodes=corpus_ids.select(id_col), edge_cols=edge_cols, node_col=id_col
     )
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))

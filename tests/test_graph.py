@@ -32,10 +32,50 @@ def test_components_include_singletons(spark):
 def test_components_nonconvergence_guard(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
     with pytest.raises(RuntimeError):
-        G.connected_components(edges, max_iters=2)
+        G.connected_components(edges, max_iters=2, fallback=False)
     # same chain converges with enough rounds, all labels = 0
     got = {r["node"]: r["cluster_id"] for r in G.connected_components(edges).collect()}
     assert set(got.values()) == {0}
+
+
+def test_guard_trip_falls_back_to_star(spark):
+    """Default path: a chain longer than max_iters must still return a
+    fully-converged labeling via the star-contraction fallback."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    got = {r["node"]: r["cluster_id"] for r in G.connected_components(
+        edges, max_iters=2).collect()}
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_star_chain_branch_cycle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in G.connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_long_chain_and_singletons(spark):
+    """200-node chain: label propagation needs 200 rounds, star needs
+    O(log n) — converging under the 60-round guard IS the O(log n) check."""
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    nodes = spark.range(n + 3).select(F.col("id").alias("doc_id"))
+    got = {r["node"]: r["cluster_id"]
+           for r in G.connected_components_star(edges, nodes=nodes).collect()}
+    assert len(got) == n + 3
+    assert all(got[i] == 0 for i in range(n + 1))
+    assert got[n + 1] == n + 1 and got[n + 2] == n + 2
+
+
+def test_star_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.range(4).select(F.col("id").alias("doc_id"))
+    got = {r["node"]: r["cluster_id"]
+           for r in G.connected_components_star(edges, nodes=nodes).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
 def test_duplicate_clusters_representatives(spark):
