@@ -443,22 +443,14 @@ def q_top_cited(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation pairs: documents cited by ≥8 common citers (edge
-    self-join on the citing side — the 2-hop graph pattern)."""
+    self-join on the citing side — the 2-hop graph pattern). Exact here
+    (the fixture's citers are uniform); the operator's hub cap
+    (``max_citer_out_degree``) is the at-scale guard, pinned by the
+    skew test in tests/test_graph.py."""
+    from judyst_web_crawler_spark.operators.graph import co_citation_pairs
+
     e = _edges(spark, sf_dir).select("doc_id_from", "doc_id_to")
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.doc_id_from") == F.col("b.doc_id_from"))
-            & (F.col("a.doc_id_to") < F.col("b.doc_id_to")),
-        )
-        .groupBy(
-            F.col("a.doc_id_to").alias("doc_a"), F.col("b.doc_id_to").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("common_citers"))
-        .filter(F.col("common_citers") >= 8)
-    )
+    return co_citation_pairs(e, min_common=8)
 
 
 def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -225,3 +225,49 @@ def duplicate_clusters(
             (F.col(id_col) == F.col("cluster_id")).alias("is_representative"),
         )
     )
+
+
+def co_citation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_citer_out_degree: int | None = None,
+    edge_cols: tuple[str, str] = ("doc_id_from", "doc_id_to"),
+) -> DataFrame:
+    """(doc_a, doc_b, common_citers) — pairs of documents cited by at
+    least ``min_common`` common citers (self-join on the citing side;
+    the 2-hop pattern over the reference's link records,
+    DatabaseWrapper.py:17,33-37).
+
+    The self-join emits O(d²) pairs per citer of out-degree d, so one
+    hub citer (a "cites everything" index page at 100 TB) dominates the
+    shuffle. ``max_citer_out_degree`` drops citers above the cap BEFORE
+    the join and logs how many were dropped — the standard hub-removal
+    move in co-citation analysis (a hub's co-citations carry no signal
+    anyway: it co-cites every pair). ``None`` = exact. Same policy as
+    the LSH hot-bucket caps in dedup_fuzzy: bounded work, no silent
+    drops.
+    """
+    src, dst = edge_cols
+    e = edges.select(F.col(src).alias("citer"), F.col(dst).alias("cited"))
+    if max_citer_out_degree is not None:
+        deg = e.groupBy("citer").agg(F.count(F.lit(1)).alias("_deg"))
+        hubs = deg.filter(F.col("_deg") > max_citer_out_degree)
+        n_hubs = hubs.count()
+        if n_hubs:
+            log.warning(
+                "co_citation_pairs: dropping %d hub citer(s) with "
+                "out-degree > %d before the pair join",
+                n_hubs, max_citer_out_degree,
+            )
+        e = e.join(F.broadcast(hubs.select("citer")), on="citer", how="left_anti")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.citer") == F.col("b.citer"))
+            & (F.col("a.cited") < F.col("b.cited")),
+        )
+        .groupBy(F.col("a.cited").alias("doc_a"), F.col("b.cited").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common_citers"))
+        .filter(F.col("common_citers") >= min_common)
+    )

@@ -91,6 +91,23 @@ def test_duplicate_clusters_representatives(spark):
     assert len(reps) == len({r["cluster_id"] for r in rows.values()})
 
 
+def test_co_citation_hub_cap(spark):
+    """One hub citer citing 40 docs would alone emit 780 pairs; the cap
+    drops it before the join, leaving exactly the normal citers' pairs."""
+    hub = [("hub", f"D{i}") for i in range(40)]
+    normal = [(f"c{k}", d) for k in range(3) for d in ("D1", "D2")]
+    edges = spark.createDataFrame(hub + normal, "doc_id_from string, doc_id_to string")
+    exact = G.co_citation_pairs(edges, min_common=1).collect()
+    assert len(exact) == 40 * 39 // 2
+    capped = {(r["doc_a"], r["doc_b"]): r["common_citers"]
+              for r in G.co_citation_pairs(
+                  edges, min_common=1, max_citer_out_degree=10).collect()}
+    assert capped == {("D1", "D2"): 3}
+    # a cap nobody exceeds changes nothing
+    assert len(G.co_citation_pairs(
+        edges, min_common=1, max_citer_out_degree=100).collect()) == len(exact)
+
+
 def test_end_to_end_minhash_to_clusters(spark):
     """Full path: texts → MinHash near-dup pairs → clusters. Two planted
     dup groups must become two clusters with min-id representatives."""
