@@ -580,6 +580,30 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) over documents: target
+    distribution = the English slice (lang='en'), raw = full corpus,
+    64 hashed unigram+bigram buckets, add-1 smoothing. The bucket
+    function here is an arithmetic surrogate (length + first/last char
+    codes) that DuckDB can mirror exactly; the production path hashes
+    with xxhash64 (operators/dsir.py) and is pinned by tests against a
+    pure-Python oracle."""
+    from judyst_web_crawler_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def bucket(gram, n):
+        return F.pmod(
+            F.length(gram) * 31
+            + F.ascii(gram) * 17
+            + F.ascii(F.substring(gram, -1, 1)) * 7,
+            F.lit(n),
+        )
+
+    w = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=bucket)
+    return w.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
@@ -1040,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_by_lang": q_text_stats_by_lang,
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
+        "dsir_weights": q_dsir_weights,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1594,6 +1619,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(kept) AS BIGINT) AS n_lines_kept,
                    CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
             FROM k
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(t) AS gram FROM toks
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks
+            ),
+            feats AS (
+                SELECT doc_id,
+                       (length(gram) * 31 + ascii(gram) * 17
+                        + ascii(substr(gram, length(gram), 1)) * 7) % 64 AS bucket,
+                       count(*) AS cnt
+                FROM grams GROUP BY 1, 2
+            ),
+            tc AS (SELECT bucket, sum(cnt) AS c FROM feats
+                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+            rc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
+                           (SELECT sum(c) FROM rc) AS rt),
+            ratio AS (
+                SELECT b.bucket,
+                       ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64))
+                       - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64)) AS lr
+                FROM (SELECT range AS bucket FROM range(64)) b
+                LEFT JOIN tc USING (bucket)
+                LEFT JOIN rc USING (bucket)
+                CROSS JOIN tot
+            )
+            SELECT f.doc_id, round(sum(f.cnt * ratio.lr), 6) AS log_weight
+            FROM feats f JOIN ratio USING (bucket)
+            GROUP BY 1
         """,
         "text_stats_by_lang": f"""
             SELECT lang, count(*) AS n_docs,

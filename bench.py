@@ -58,6 +58,8 @@ HEADLINE = [
     "token_jaccard",
     "embedding_near_dup",
     "lawcode_htm_split",
+    "dsir_weights",
+    "dup_clusters_star",
 ]
 
 
