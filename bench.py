@@ -150,6 +150,15 @@ def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # warm the Arrow python-worker pool once so its multi-second spawn
+    # cost isn't attributed to whichever heavy query happens to run first
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).agg(_F.count(_F.lit(1))).collect()
+
     out = {}
     for name in HEADLINE:
         fn = qs[name]

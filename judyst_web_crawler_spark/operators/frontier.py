@@ -326,14 +326,27 @@ class FrontierEngine:
             docs = fetched.select(
                 *carry, extract_text_udf(F.col("html")).alias("text")
             ).withColumn("wave", F.lit(wave))
-        self.catalog.append(DOCS_TABLE, docs)
+        v_docs = self.catalog.append(DOCS_TABLE, docs)
         mark("extract_commit")
-        # read the COMMITTED snapshot back: one extract pass ran at the
-        # append; every commit below reuses the parquet output
-        docs_c = self.catalog.read(DOCS_TABLE).filter(F.col("wave") == wave)
+        # read ONLY the dir this append committed: one extract pass ran
+        # at the append; the seen/done/metrics commits below reuse that
+        # parquet output without re-scanning every prior wave's documents
+        # (full-table read here made late waves pay O(total crawled))
+        docs_c = self.catalog.read_last_append(DOCS_TABLE, v_docs)
 
-        # 6. seen += scheduled keys; bloom |= scheduled keys
-        scheduled_keys = docs_c.select("key_hash", "url", F.lit(wave).alias("first_seen_wave"))
+        # 6. seen += scheduled keys; bloom |= scheduled keys. The three
+        # bookkeeping tables below are SKINNY (url/key/status columns);
+        # committing them at full scan parallelism writes dozens of tiny
+        # files per wave, and every later wave re-reads the union —
+        # shrink 8× (floor 1) so file counts track data volume, not core
+        # count, while long waves still write in parallel.
+        def _shrink(df: DataFrame) -> DataFrame:
+            n = df.rdd.getNumPartitions()
+            return df.coalesce(max(1, n // 8))
+
+        scheduled_keys = _shrink(
+            docs_c.select("key_hash", "url", F.lit(wave).alias("first_seen_wave"))
+        )
         if self.catalog.exists(SEEN_TABLE):
             self.catalog.append(SEEN_TABLE, scheduled_keys)
         else:
@@ -358,7 +371,9 @@ class FrontierEngine:
                 "url", F.lit("robots_denied").alias("retire_status")
             )
             done_new = done_new.unionByName(denied)
-        done_new = done_new.withColumn("wave", F.lit(wave)).localCheckpoint(eager=True)
+        done_new = _shrink(
+            done_new.withColumn("wave", F.lit(wave))
+        ).localCheckpoint(eager=True)
         if self.catalog.exists(DONE_TABLE):
             self.catalog.append(DONE_TABLE, done_new)
         else:
@@ -386,6 +401,7 @@ class FrontierEngine:
                 F.lit(elapsed).alias("elapsed_s"),
             )
         )
+        part_metrics = part_metrics.coalesce(1)  # ≤ one row per partition
         if self.catalog.exists(METRICS_TABLE):
             self.catalog.append(METRICS_TABLE, part_metrics)
         else:

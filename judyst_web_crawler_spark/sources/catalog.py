@@ -133,6 +133,18 @@ class SnapshotCatalog:
         merged.write.mode("overwrite").parquet(data_dir)
         return self._commit(name, [data_dir], "merge")
 
+    def read_last_append(self, name: str, version: int) -> DataFrame:
+        """Read ONLY the data dir added by the ``append`` that committed
+        ``version`` (the manifest's last dir). The delta-read for
+        write-then-reuse patterns: a wave that appends N rows and then
+        derives follow-up commits from them must not re-scan the whole
+        accumulated table (O(total) per wave — the crawl slows down as
+        it progresses). Iceberg's analogue is an incremental read of one
+        snapshot. Only valid straight after an append, before any
+        compaction of this table."""
+        dirs = self._read_manifest(name, version)["dirs"]
+        return self.spark.read.parquet(dirs[-1])
+
     def n_dirs(self, name: str) -> int:
         v = self.current_version(name)
         return len(self._read_manifest(name, v)["dirs"]) if v is not None else 0

@@ -33,6 +33,15 @@ def test_append_merge_timetravel(spark, tmp_path):
     assert cat.read("t", version=v2).count() == 3  # old snapshot intact
 
 
+def test_read_last_append_is_delta_only(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    v1 = cat.append("t", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v2 = cat.append("t", spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert {r["k"] for r in cat.read_last_append("t", v1).collect()} == {1, 2}
+    assert {r["k"] for r in cat.read_last_append("t", v2).collect()} == {3}
+    assert cat.read("t").count() == 3  # full read unchanged
+
+
 def _seeds_from_pages(pages, per_page=10):
     w = F.row_number().over(Window.orderBy("url"))
     return (
