@@ -580,6 +580,34 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_A = [1373158607, 239081664, 53710185, 1592467582,
+         590620972, 525901257, 479341424, 299655413]
+_MH_B = [1581559892, 220106707, 1453201078, 1590571865,
+         1915941032, 1171165722, 186699713, 1268073012]
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side MinHash signatures (k=8) over word tokens — the
+    hash-checked twin of the rows-only pandas shingle path: same
+    (a·x+b) mod p permutation algebra, token hash replaced by an
+    arithmetic surrogate DuckDB computes identically, signature lanes
+    emitted as scalar columns for the driver canon."""
+    from judyst_web_crawler_spark.operators.dedup_fuzzy import minhash_signatures_jvm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def token_hash(t):
+        return F.pmod(
+            F.length(t) * 31 + F.ascii(t) * 17 + F.ascii(F.substring(t, -1, 1)) * 7,
+            F.lit(2_147_483_647),
+        )
+
+    sigs = minhash_signatures_jvm(docs, _MH_A, _MH_B, token_hash=token_hash)
+    return sigs.select(
+        "doc_id", *[F.col("sig")[i].alias(f"sig_{i}") for i in range(8)]
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) over documents: target
     distribution = the English slice (lang='en'), raw = full corpus,
@@ -1065,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
         "dsir_weights": q_dsir_weights,
+        "minhash_sig": q_minhash_sig,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1619,6 +1648,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(kept) AS BIGINT) AS n_lines_kept,
                    CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
             FROM k
+        """,
+        "minhash_sig": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS t
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       list_transform(t, x -> (length(x) * 31 + ascii(x) * 17
+                           + ascii(substr(x, length(x), 1)) * 7)
+                           % 2147483647) AS h
+                FROM toks
+            )
+            SELECT doc_id,
+                   """ + ",\n                   ".join(
+                       f"list_min(list_transform(h, x -> ({a}::BIGINT * x + {b}) "
+                       f"% 2147483647)) AS sig_{i}"
+                       for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+                   ) + """
+            FROM base
         """,
         "dsir_weights": """
             WITH toks AS (

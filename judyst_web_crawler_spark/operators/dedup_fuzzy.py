@@ -184,6 +184,51 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
+MINHASH_JVM_P = 2_147_483_647  # 2^31-1 (prime); a*x stays < 2^62 — no
+# ANSI long overflow (the 2^61-1 Mersenne the pandas path uses would)
+
+
+def minhash_signatures_jvm(
+    docs: DataFrame,
+    perm_a: list[int],
+    perm_b: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
+    """(id, sig array<long>): MinHash over distinct WORD tokens computed
+    entirely JVM-side — split/transform/array_min inside whole-stage
+    codegen, no Arrow crossing. The production crawl path stays the
+    fused pandas char-shingle MinHash (``minhash_signatures`` /
+    ``fingerprint_text``: shingles catch near-dups word tokens miss);
+    this variant is the oracle-checkable + zero-Python alternative:
+    ``token_hash`` can be any Column expression a SQL oracle engine
+    computes identically, so the signature math itself gets a
+    value-hash check instead of rows-only. ``perm_a``/``perm_b`` are
+    the (a·x + b) mod p permutation constants, < p each."""
+    if token_hash is None:
+        token_hash = lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_JVM_P))  # noqa: E731
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    )
+    base = F.transform(toks, token_hash)
+
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would present a 3-arg
+        # signature to Spark's higher-order-function binder
+        return lambda x: (
+            F.lit(a).cast("long") * x.cast("long") + F.lit(b)
+        ) % F.lit(MINHASH_JVM_P)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, _perm(a, b)))
+            for a, b in zip(perm_a, perm_b)
+        ]
+    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -123,3 +123,32 @@ def test_jaccard_verify_pairs(spark):
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
     assert j[(1, 2)] == 1.0
     assert j[(1, 4)] < 0.2
+
+
+def test_minhash_jvm_signature_properties(spark):
+    """JVM-side word-token MinHash: permutation-invariant per token set,
+    lane-similarity tracks token-set Jaccard."""
+    import random
+
+    r = random.Random(7)
+    p = D.MINHASH_JVM_P
+    A = [r.randrange(1, p) for _ in range(32)]
+    B = [r.randrange(0, p) for _ in range(32)]
+    vocab_a = [f"tok{i}" for i in range(60)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(vocab_a)),
+            (2, " ".join(reversed(vocab_a)).upper()),      # same token SET
+            (3, " ".join(vocab_a[:55] + ["x1 x2 x3 x4 x5"])),  # high overlap
+            (4, " ".join(f"other{i}" for i in range(60))),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r_["doc_id"]: list(r_["sig"])
+            for r_ in D.minhash_signatures_jvm(docs, A, B).collect()}
+    assert all(len(s) == 32 and all(0 <= v < p for v in s) for s in sigs.values())
+    assert sigs[1] == sigs[2]
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
+    agree_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 32
+    assert agree_13 > 0.6        # jaccard ≈ 55/65
+    assert agree_14 == 0.0       # disjoint vocab
