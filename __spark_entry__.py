@@ -608,6 +608,23 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side SimHash (16 bits) over word tokens — hash-checked twin
+    of the rows-only pandas shingle path: per-bit majority vote over an
+    arithmetic token hash DuckDB computes identically."""
+    from judyst_web_crawler_spark.operators.dedup_fuzzy import simhash_jvm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def token_hash(t):
+        return F.pmod(
+            F.length(t) * 31 + F.ascii(t) * 17 + F.ascii(F.substring(t, -1, 1)) * 7,
+            F.lit(2_147_483_647),
+        )
+
+    return simhash_jvm(docs, bits=16, token_hash=token_hash)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) over documents: target
     distribution = the English slice (lang='en'), raw = full corpus,
@@ -1094,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "dsir_weights": q_dsir_weights,
         "minhash_sig": q_minhash_sig,
+        "simhash_sig": q_simhash_sig,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1670,6 +1688,30 @@ def oracle_sql() -> dict[str, str]:
                        f"% 2147483647)) AS sig_{i}"
                        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
                    ) + """
+            FROM base
+        """,
+        "simhash_sig": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS t
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       list_transform(t, x -> (length(x) * 31 + ascii(x) * 17
+                           + ascii(substr(x, length(x), 1)) * 7)
+                           % 2147483647) AS h
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST((""" + "\n                    + ".join(
+                       f"(CASE WHEN list_sum(list_transform(h, "
+                       f"x -> 2 * ((x >> {j}) & 1) - 1)) > 0 "
+                       f"THEN {1 << j} ELSE 0 END)"
+                       for j in range(16)
+                   ) + """) AS BIGINT) AS simhash
             FROM base
         """,
         "dsir_weights": """

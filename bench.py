@@ -178,6 +178,7 @@ def run_scaling() -> dict:
     BASELINE.md.) Override with SPARK_SCALING_LEVELS, e.g. "8,32".
     Fresh subprocess per level so JVM state is clean."""
     levels = os.environ.get("SPARK_SCALING_LEVELS", "2,8").split(",")
+    samples = int(os.environ.get("SPARK_SCALING_SAMPLES", "2"))
     results = {}
     for cpus in levels:
         env = dict(
@@ -192,17 +193,25 @@ def run_scaling() -> dict:
             SPARK_BENCH_URLS=os.environ.get("SPARK_BENCH_URLS", "50000"),
             SPARK_BENCH_BUDGET=os.environ.get("SPARK_BENCH_BUDGET", "50000"),
         )
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--frontier-only"],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if proc.returncode != 0 or not lines:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise RuntimeError(
-                f"scaling leg local[{cpus}] failed (exit {proc.returncode}); stderr above"
+        # best-of-N per leg: this host shows ±10-25% run-to-run IO/CPU
+        # interference, which only ever SLOWS a sample — the max is the
+        # least-interfered estimate of each leg's true throughput
+        best = None
+        for _ in range(samples):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--frontier-only"],
+                env=env, capture_output=True, text=True, timeout=3600,
             )
-        results[cpus] = json.loads(lines[-1])["frontier"]
+            lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(
+                    f"scaling leg local[{cpus}] failed (exit {proc.returncode}); stderr above"
+                )
+            got = json.loads(lines[-1])["frontier"]
+            if best is None or got["urls_per_sec"] > best["urls_per_sec"]:
+                best = got
+        results[cpus] = best
     lo, hi = levels[0], levels[-1]
     ratio = int(hi) / int(lo)
     tn = results[lo]["urls_per_sec"]

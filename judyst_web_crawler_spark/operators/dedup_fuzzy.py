@@ -229,6 +229,42 @@ def minhash_signatures_jvm(
     return docs.select(F.col(id_col), sig.alias("sig"))
 
 
+def simhash_jvm(
+    docs: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
+    """(id, simhash long): SimHash over distinct word tokens computed
+    JVM-side — per bit position, majority vote of the tokens' hash bits
+    via ``aggregate`` over the token-hash array, no Arrow crossing.
+    Companion to :func:`minhash_signatures_jvm` (same oracle-checkable
+    design: swap ``token_hash`` for an expression a SQL engine computes
+    identically); the production crawl keeps the fused pandas
+    shingle-based ``fingerprint_text`` path."""
+    if token_hash is None:
+        token_hash = lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_JVM_P))  # noqa: E731
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    )
+    base = F.transform(toks, token_hash)
+
+    def _bit(j: int):
+        vote = F.aggregate(
+            base,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + (F.lit(2) * F.shiftright(x.cast("long"), j).bitwiseAND(F.lit(1)) - F.lit(1)),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long") * (1 << j)).otherwise(F.lit(0).cast("long"))
+
+    sim = _bit(0)
+    for j in range(1, bits):
+        sim = sim + _bit(j)
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",

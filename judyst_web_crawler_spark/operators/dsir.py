@@ -159,7 +159,12 @@ def dsir_weights(
             n_buckets,
             alpha,
         )
-        return importance_weights(feats, ratio, id_col=id_col)
+        # materialize BEFORE unpersisting: the returned plan reads the
+        # cached features; dropping the cache first would silently rerun
+        # the whole featurization pass at the caller's first action
+        return importance_weights(feats, ratio, id_col=id_col).localCheckpoint(
+            eager=True
+        )
     finally:
         feats.unpersist()
 

@@ -271,13 +271,16 @@ class FrontierEngine:
         if n_pending == 0:
             return {"wave": wave, "frontier_pending": 0, "scheduled": 0, "retired": 0, "elapsed_s": 0.0}
 
-        # 1. url-level collapse: rediscoveries of one url = one fetch row
+        # 1. url-level collapse: rediscoveries of one url = one fetch row.
+        # Checkpointed: consumed twice (the seen-filter chain AND the
+        # seen-dups retirement anti-join) — without it the window runs
+        # again per consumer.
         w_url = Window.partitionBy("url").orderBy(*_priority())
         pending_u = (
             pending.withColumn("_ur", F.row_number().over(w_url))
             .filter(F.col("_ur") == 1)
             .drop("_ur")
-        )
+        ).localCheckpoint(eager=True)
 
         # 2. seen filter (incremental bloom prefilter + exact anti-join)
         if self.catalog.exists(SEEN_TABLE):
@@ -338,19 +341,22 @@ class FrontierEngine:
         # bookkeeping tables below are SKINNY (url/key/status columns);
         # committing them at full scan parallelism writes dozens of tiny
         # files per wave, and every later wave re-reads the union —
-        # shrink 8× (floor 1) so file counts track data volume, not core
-        # count, while long waves still write in parallel.
+        # shrink 8× (floor 1) AT THE WRITE ONLY. coalesce() pushes up
+        # into the producing stage (no shuffle barrier), so shrinking a
+        # live plan would throttle the anti-joins/scans feeding it to
+        # 1/8 of the cores; shrink either a checkpointed input or a
+        # plain parquet projection, never the compute chain.
         def _shrink(df: DataFrame) -> DataFrame:
             n = df.rdd.getNumPartitions()
             return df.coalesce(max(1, n // 8))
 
-        scheduled_keys = _shrink(
-            docs_c.select("key_hash", "url", F.lit(wave).alias("first_seen_wave"))
+        scheduled_keys = docs_c.select(
+            "key_hash", "url", F.lit(wave).alias("first_seen_wave")
         )
         if self.catalog.exists(SEEN_TABLE):
-            self.catalog.append(SEEN_TABLE, scheduled_keys)
+            self.catalog.append(SEEN_TABLE, _shrink(scheduled_keys))
         else:
-            self.catalog.overwrite(SEEN_TABLE, scheduled_keys)
+            self.catalog.overwrite(SEEN_TABLE, _shrink(scheduled_keys))
         if self._sharded is not None:
             self._sharded.add_df(scheduled_keys)
         elif self.use_bloom:
@@ -371,13 +377,14 @@ class FrontierEngine:
                 "url", F.lit("robots_denied").alias("retire_status")
             )
             done_new = done_new.unionByName(denied)
-        done_new = _shrink(
-            done_new.withColumn("wave", F.lit(wave))
-        ).localCheckpoint(eager=True)
+        # checkpoint at FULL parallelism (the union's anti-join branches
+        # are real compute), then shrink the materialized result for the
+        # write — merging checkpointed partitions is free
+        done_new = done_new.withColumn("wave", F.lit(wave)).localCheckpoint(eager=True)
         if self.catalog.exists(DONE_TABLE):
-            self.catalog.append(DONE_TABLE, done_new)
+            self.catalog.append(DONE_TABLE, _shrink(done_new))
         else:
-            self.catalog.overwrite(DONE_TABLE, done_new)
+            self.catalog.overwrite(DONE_TABLE, _shrink(done_new))
         mark("done_commit")
 
         status_counts = {

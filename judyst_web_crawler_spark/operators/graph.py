@@ -118,10 +118,19 @@ def connected_components_star(
     labels = labels.unionByName(roots)
     if nodes is not None:
         universe = nodes.select(F.col(nodes.columns[0]).alias(node_col)).distinct()
-        singletons = universe.join(labels.select(node_col), on=node_col, how="left_anti")
-        labels = labels.unionByName(
-            singletons.select(node_col, F.col(node_col).alias("cluster_id"))
+    else:
+        # derive the universe from the RAW edge endpoints: the star
+        # rounds drop self-loops, so a node appearing only as (u, u)
+        # would otherwise vanish (label propagation keeps it)
+        universe = (
+            edges.select(F.col(a).alias(node_col))
+            .unionByName(edges.select(F.col(b).alias(node_col)))
+            .distinct()
         )
+    singletons = universe.join(labels.select(node_col), on=node_col, how="left_anti")
+    labels = labels.unionByName(
+        singletons.select(node_col, F.col(node_col).alias("cluster_id"))
+    )
     return labels.dropDuplicates([node_col])
 
 

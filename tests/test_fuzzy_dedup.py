@@ -152,3 +152,25 @@ def test_minhash_jvm_signature_properties(spark):
     agree_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 32
     assert agree_13 > 0.6        # jaccard ≈ 55/65
     assert agree_14 == 0.0       # disjoint vocab
+
+
+def test_simhash_jvm_properties(spark):
+    """JVM-side SimHash: permutation/case-invariant; near token sets →
+    small Hamming distance; disjoint sets → large."""
+    vocab = [f"tok{i}" for i in range(80)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(vocab)),
+            (2, " ".join(reversed(vocab)).upper()),
+            (3, " ".join(vocab[:76] + ["zz1 zz2 zz3 zz4"])),
+            (4, " ".join(f"other{i}" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash_jvm(docs, bits=16).collect()}
+    assert all(0 <= v < (1 << 16) for v in sims.values())
+    assert sims[1] == sims[2]
+    ham_13 = bin(sims[1] ^ sims[3]).count("1")
+    ham_14 = bin(sims[1] ^ sims[4]).count("1")
+    assert ham_13 <= 4
+    assert ham_14 > ham_13
