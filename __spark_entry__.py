@@ -625,6 +625,23 @@ def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_jvm(docs, bits=16, token_hash=token_hash)
 
 
+def q_rolling_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side order-sensitive rolling-hash fingerprint — hash-checked
+    twin of the rows-only pandas path (same fold, ANSI-long-safe
+    modulus, arithmetic token hash DuckDB computes identically)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def token_hash(t):
+        return F.pmod(
+            F.length(t) * 31 + F.ascii(t) * 17 + F.ascii(F.substring(t, -1, 1)) * 7,
+            F.lit(2_147_483_647),
+        )
+
+    return docs.select(
+        "doc_id", T.rolling_fingerprint_col("text", token_hash=token_hash).alias("fp")
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) over documents: target
     distribution = the English slice (lang='en'), raw = full corpus,
@@ -1112,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "minhash_sig": q_minhash_sig,
         "simhash_sig": q_simhash_sig,
+        "rolling_sig": q_rolling_sig,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1712,6 +1730,26 @@ def oracle_sql() -> dict[str, str]:
                        f"THEN {1 << j} ELSE 0 END)"
                        for j in range(16)
                    ) + """) AS BIGINT) AS simhash
+            FROM base
+        """,
+        "rolling_sig": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       list_transform(t, x -> (length(x) * 31 + ascii(x) * 17
+                           + ascii(substr(x, length(x), 1)) * 7)
+                           % 2147483647) AS h
+                FROM toks
+            )
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                               (acc, x) -> (acc * 131 + x + 1) % 2147483647)
+                       AS fp
             FROM base
         """,
         "dsir_weights": """

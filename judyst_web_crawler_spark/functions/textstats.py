@@ -177,6 +177,33 @@ def normalized_fingerprint(text: Column | str) -> Column:
 
 
 _ROLL_BASE = 1000003
+ROLL_JVM_MOD = 2_147_483_647  # 2^31-1: acc*base + th stays < 2^39 —
+ROLL_JVM_BASE = 131           # safe in ANSI long (the 2^61-1 python
+#                               modulus would overflow the multiply)
+
+
+def rolling_fingerprint_col(text: Column | str, token_hash=None) -> Column:
+    """Order-sensitive rolling-hash fingerprint computed JVM-side:
+    fold ``acc·base + token_hash + 1 (mod p)`` over the document's
+    tokens IN ORDER with ``aggregate`` — the codegen/oracle-checkable
+    twin of ``rolling_fingerprint_udf`` (same fold shape, smaller
+    modulus so the arithmetic fits ANSI long; ``token_hash`` swappable
+    for an expression a SQL oracle engine computes identically, same
+    design as dedup_fuzzy.minhash_signatures_jvm). Order sensitivity is
+    the property MinHash/SimHash lack: equal token MULTISETS in
+    different order fingerprint differently."""
+    if token_hash is None:
+        token_hash = lambda t: F.pmod(F.xxhash64(t), F.lit(ROLL_JVM_MOD))  # noqa: E731
+    toks = F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda t: t != F.lit(""))
+    hashes = F.transform(toks, token_hash)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(ROLL_JVM_BASE) + x.cast("long") + F.lit(1))
+        % F.lit(ROLL_JVM_MOD),
+    )
+
+
 _ROLL_MOD = (1 << 61) - 1
 
 

@@ -91,3 +91,33 @@ def test_c4_clean_lines(spark):
         "Вторая хорошая строка тоже остаётся!"
     )
     assert r["n_lines_kept"] == 2 and r["n_lines_dropped"] == 4
+
+
+def test_rolling_fingerprint_col_order_sensitive(spark):
+    from judyst_web_crawler_spark.functions import textstats as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),   # same multiset, other order
+            (3, "Alpha  Beta gamma delta"),  # case + runs of spaces
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", T.rolling_fingerprint_col("text").alias("fp")).collect()}
+    assert fp[1] != fp[2]        # order matters (MinHash/SimHash can't see this)
+    assert fp[1] == fp[3]        # whitespace/case normalization
+    assert fp[4] == 0
+    # python mirror of the fold
+    import pyspark.sql.functions as F
+    h = [r["h"] for r in docs.filter("doc_id = 1").select(
+        F.transform(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: F.pmod(F.xxhash64(t), F.lit(T.ROLL_JVM_MOD)),
+        ).alias("h")).collect()][0]
+    acc = 0
+    for x in h:
+        acc = (acc * T.ROLL_JVM_BASE + x + 1) % T.ROLL_JVM_MOD
+    assert acc == fp[1]
