@@ -206,6 +206,11 @@ def minhash_signatures_jvm(
     computes identically, so the signature math itself gets a
     value-hash check instead of rows-only. ``perm_a``/``perm_b`` are
     the (a·x + b) mod p permutation constants, < p each."""
+    if len(perm_a) != len(perm_b):
+        raise ValueError(
+            f"perm_a/perm_b length mismatch ({len(perm_a)} vs {len(perm_b)}): "
+            "zip would silently truncate the signature"
+        )
     if token_hash is None:
         token_hash = lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_JVM_P))  # noqa: E731
     toks = F.array_distinct(
@@ -242,7 +247,17 @@ def simhash_jvm(
     Companion to :func:`minhash_signatures_jvm` (same oracle-checkable
     design: swap ``token_hash`` for an expression a SQL engine computes
     identically); the production crawl keeps the fused pandas
-    shingle-based ``fingerprint_text`` path."""
+    shingle-based ``fingerprint_text`` path.
+
+    ``bits`` is capped at 31: the default token hash lives below 2³¹,
+    so higher bit positions would silently vote constant-zero and the
+    result would masquerade as a wider SimHash carrying 31 bits of
+    signal (need 64 bits → the pandas ``fingerprint_text`` path)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(
+            f"simhash_jvm supports 1..31 bits (token hashes are < 2^31); "
+            f"got {bits} — use fingerprint_text/simhash_signatures for 64-bit"
+        )
     if token_hash is None:
         token_hash = lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_JVM_P))  # noqa: E731
     toks = F.array_distinct(

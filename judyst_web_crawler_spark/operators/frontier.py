@@ -263,12 +263,23 @@ class FrontierEngine:
             # fresh engine reads it again anyway
             cached = getattr(self, "_next_wave", None)
             wave = cached if cached is not None else self.next_wave_id()
+        # invalidate the cache (and the repair latch) for the duration of
+        # the wave: if any commit below raises, an in-process retry must
+        # re-derive the wave id from the catalog (the half-committed docs
+        # already carry this id — reusing it would double-label) and
+        # re-run partial-wave repair, exactly like a process restart
+        self._next_wave = None
+        self._repaired = False
         mark("waveid")
 
         pending = self.pending().localCheckpoint(eager=True)  # cut wave-loop lineage
         n_pending = pending.count()
         mark("pending")
         if n_pending == 0:
+            # nothing committed: the wave id stays available and no
+            # repair is owed
+            self._next_wave = wave
+            self._repaired = True
             return {"wave": wave, "frontier_pending": 0, "scheduled": 0, "retired": 0, "elapsed_s": 0.0}
 
         # 1. url-level collapse: rediscoveries of one url = one fetch row.
@@ -414,8 +425,11 @@ class FrontierEngine:
         else:
             self.catalog.overwrite(METRICS_TABLE, part_metrics)
         mark("metrics_commit")
-        # bump only after every commit of this wave succeeded
+        # bump only after every commit of this wave succeeded; the
+        # repair latch is re-armed too (it was cleared at wave start so
+        # a failed wave forces repair, like a restart)
         self._next_wave = wave + 1
+        self._repaired = True
         return {
             "wave": wave,
             "frontier_pending": n_pending,

@@ -37,9 +37,12 @@ log = logging.getLogger(__name__)
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     """(row count, order-insensitive hash) — cheap convergence check for
-    the star rounds (hash collision would only DELAY convergence by one
-    extra identical round, never corrupt the result, because a fixpoint
-    of the star operators is stable)."""
+    the star rounds. A collision (two DIFFERENT consecutive edge sets
+    with equal count and xor-of-hashes, ~2⁻⁶⁴ per round since xor lets
+    equal-hash edge pairs cancel) would terminate the loop early with a
+    non-converged labeling; accepted odds for a per-round check — the
+    alternative, exceptAll().isEmpty(), costs a full extra join per
+    round."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
@@ -92,9 +95,19 @@ def connected_components_star(
     O(log n) rounds on any graph shape. Same output contract as
     ``connected_components``."""
     a, b = edge_cols
+    cur = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if nodes is not None:
+        # contract ONLY edges whose both endpoints are in the universe —
+        # the label-propagation path never propagates through unlabeled
+        # (foreign) endpoints, so the fallback must not either, or the
+        # two algorithms return different clusterings for the same call
+        uni = nodes.select(F.col(nodes.columns[0]).alias("_u")).distinct()
+        cur = (
+            cur.join(uni, cur["src"] == F.col("_u"), "left_semi")
+            .join(uni, cur["dst"] == F.col("_u"), "left_semi")
+        )
     cur = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        cur.filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -260,7 +273,14 @@ def co_citation_pairs(
     e = edges.select(F.col(src).alias("citer"), F.col(dst).alias("cited"))
     if max_citer_out_degree is not None:
         deg = e.groupBy("citer").agg(F.count(F.lit(1)).alias("_deg"))
-        hubs = deg.filter(F.col("_deg") > max_citer_out_degree)
+        # materialize the (small) hub set once: counting it AND feeding
+        # the anti-join from the live plan would run the full degree
+        # aggregation twice
+        hubs = (
+            deg.filter(F.col("_deg") > max_citer_out_degree)
+            .select("citer")
+            .localCheckpoint(eager=True)
+        )
         n_hubs = hubs.count()
         if n_hubs:
             log.warning(
@@ -268,7 +288,7 @@ def co_citation_pairs(
                 "out-degree > %d before the pair join",
                 n_hubs, max_citer_out_degree,
             )
-        e = e.join(F.broadcast(hubs.select("citer")), on="citer", how="left_anti")
+        e = e.join(F.broadcast(hubs), on="citer", how="left_anti")
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(

@@ -101,13 +101,20 @@ def _session_fn(
         last_ts, n_sessions, n_events = state.get
     else:
         last_ts, n_sessions, n_events = None, 0, 0
+    # accumulate EVERY chunk before sorting: a key whose micro-batch
+    # spans multiple Arrow chunks gets them in arbitrary post-shuffle
+    # order, and a per-chunk sort would let a later chunk's earlier
+    # timestamps regress last_ts (batch-oracle divergence)
+    all_ts: list[int] = []
     for pdf in pdfs:
-        ts = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
-        for t in sorted(ts.tolist()):
-            if last_ts is None or t - last_ts > gap_s:
-                n_sessions += 1
-            last_ts = t
-            n_events += 1
+        all_ts.extend(
+            (pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000).tolist()
+        )
+    for t in sorted(all_ts):
+        if last_ts is None or t - last_ts > gap_s:
+            n_sessions += 1
+        last_ts = t
+        n_events += 1
     state.update((last_ts, n_sessions, n_events))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
@@ -170,13 +177,17 @@ def sessionize_stream_tws(events: DataFrame) -> DataFrame:
                 last_ts, n_sessions, n_events = self._state.get()
             else:
                 last_ts, n_sessions, n_events = None, 0, 0
+            # all chunks first, ONE sort — see _session_fn
+            all_ts: list[int] = []
             for pdf in rows:
-                ts = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
-                for t in sorted(ts.tolist()):
-                    if last_ts is None or t - last_ts > gap_s:
-                        n_sessions += 1
-                    last_ts = t
-                    n_events += 1
+                all_ts.extend(
+                    (pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000).tolist()
+                )
+            for t in sorted(all_ts):
+                if last_ts is None or t - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = t
+                n_events += 1
             self._state.update((last_ts, n_sessions, n_events))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}

@@ -29,6 +29,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from judyst_web_crawler_spark.operators.frontier import FRONTIER_TABLE
+
 SEEDS_SCHEMA = "url string, page_seq int, intra_page_seq int"
 
 
@@ -62,7 +64,10 @@ def run_streaming_crawl(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if engine.catalog.exists("frontier_state"):
+        # the shared constant, not a string literal: a drifted name here
+        # would make exists() False every batch and bootstrap() would
+        # OVERWRITE the frontier, silently dropping pending urls
+        if engine.catalog.exists(FRONTIER_TABLE):
             engine.enqueue(batch_df, depth=0)
         else:
             engine.bootstrap(batch_df)

@@ -157,3 +157,90 @@ def test_listing_href_from_key_cell_only():
     rows = parse_listing_rows(markup)
     assert rows[0]["url"] == "/doc5.pdf"  # td2's anchor, not the title link
     assert rows[0]["canonical_key"] == "5-О/2018"
+
+
+def test_inprocess_retry_after_midwave_failure(spark, tmp_path):
+    """A failed wave must invalidate the cached wave id AND the repair
+    latch: retrying run_wave on the SAME engine re-derives the id from
+    the catalog and repairs the orphaned docs — no duplicate urls, no
+    reused wave id."""
+    pages = pages_df(spark, n_rows=20, n_hosts=2, seed=11).cache()
+    seeds = (
+        pages.select("url")
+        .withColumn("_rn", F.row_number().over(Window.orderBy("url")))
+        .select("url", F.lit(2).alias("page_seq"), F.col("_rn").cast("int").alias("intra_page_seq"))
+    )
+    root = str(tmp_path / "cat")
+    crash_cat = _CrashingCatalog(spark, root, crash_table="seen")
+    eng = FrontierEngine(spark, crash_cat, use_bloom=False)
+    eng.bootstrap(seeds)
+    try:
+        eng.run_wave(pages, budget=8)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    # retry on the SAME engine (no restart): _CrashingCatalog disarms
+    # after one crash, so this wave completes
+    eng.run(pages, budget=8, max_waves=20)
+    docs = crash_cat.read(DOCS_TABLE)
+    assert docs.count() == 20
+    assert docs.select("url").distinct().count() == 20
+    # no wave id carries two generations of rows for one url
+    assert docs.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_session_fn_sorts_across_chunks():
+    """Chunked Arrow delivery in arbitrary order must not regress
+    last_ts: all chunks are pooled before the single sort."""
+    import pandas as pd
+
+    from judyst_web_crawler_spark.streaming.rollup import _session_fn
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+        @property
+        def get(self):
+            raise AssertionError("not used when exists is False")
+
+    st = _State()
+    late = pd.DataFrame({"ts": pd.to_datetime([5_000_000], unit="s")})
+    early = pd.DataFrame({"ts": pd.to_datetime([1_000_000], unit="s")})
+    out = list(_session_fn(("u1",), iter([late, early]), st))
+    # 1,000,000 then 5,000,000: gap >> 1800s → TWO sessions; a per-chunk
+    # sort (5e6 first, then 1e6) would count one
+    assert st.value[1] == 2 and st.value[2] == 2
+    assert out[0]["n_sessions"].iloc[0] == 2
+
+
+def test_jvm_signature_guards(spark):
+    import pytest
+
+    from judyst_web_crawler_spark.operators import dedup_fuzzy as D
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mismatch"):
+        D.minhash_signatures_jvm(docs, [3, 5], [7])
+    with pytest.raises(ValueError, match="1..31"):
+        D.simhash_jvm(docs, bits=64)
+
+
+def test_star_ignores_foreign_endpoints_like_label_path(spark):
+    """Pairs referencing ids absent from the corpus must not merge
+    components in EITHER algorithm (fallback parity)."""
+    from judyst_web_crawler_spark.operators import graph as G
+
+    # 1-99 and 2-99: 99 is NOT in the corpus; label prop never
+    # propagates through it, so 1 and 2 stay separate clusters
+    pairs = spark.createDataFrame([(1, 99), (2, 99), (3, 4)], "id_a long, id_b long")
+    corpus = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    lab = {r["node"]: r["cluster_id"] for r in G.connected_components(
+        pairs, nodes=corpus, node_col="node").collect()}
+    star = {r["node"]: r["cluster_id"] for r in G.connected_components_star(
+        pairs, nodes=corpus, node_col="node").collect()}
+    assert lab == star
+    assert star[1] == 1 and star[2] == 2 and star[3] == 3 and star[4] == 3
+    assert 99 not in star
