@@ -453,6 +453,37 @@ def q_co_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co_citation_pairs(e, min_common=8)
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape on this schema: cheapest supplier per part (group
+    min → equality back-join → deterministic min-suppkey tiebreak →
+    broadcast dim join). The correlated-subquery pattern re-expressed
+    the idiomatic Spark way — aggregate + join, no subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    mins = (
+        li.groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(F.min("l_extendedprice").alias("_mn"))
+    )
+    winners = (
+        li.join(
+            mins,
+            (li["l_partkey"] == mins["_pk"])
+            & (li["l_extendedprice"] == mins["_mn"]),
+        )
+        .groupBy(F.col("_pk").alias("partkey"), F.col("_mn"))
+        .agg(F.min("l_suppkey").alias("suppkey"))
+    )
+    return (
+        winners.join(F.broadcast(supp), winners["suppkey"] == supp["s_suppkey"])
+        .select(
+            "partkey",
+            F.round("_mn", 2).alias("min_price"),
+            "suppkey",
+            "s_name",
+        )
+    )
+
+
 def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part/supplier margin rollup — broadcast both dims into the fact."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1112,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q_q7_nation_volume,
         "q8_market_share": q_q8_market_share,
         "part_supplier_stats": q_part_supplier_stats,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "citation_degrees": q_citation_degrees,
         "top_cited": q_top_cited,
         "co_citation": q_co_citation,
@@ -1436,6 +1468,22 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b
               ON a.doc_id_from = b.doc_id_from AND a.doc_id_to < b.doc_id_to
             GROUP BY 1, 2 HAVING count(*) >= 8
+        """,
+        "q2_min_cost_supplier": """
+            WITH m AS (
+                SELECT l_partkey, min(l_extendedprice) AS mn
+                FROM lineitem GROUP BY 1
+            ),
+            w AS (
+                SELECT l.l_partkey AS partkey, m.mn,
+                       min(l.l_suppkey) AS suppkey
+                FROM lineitem l
+                JOIN m ON l.l_partkey = m.l_partkey
+                      AND l.l_extendedprice = m.mn
+                GROUP BY 1, 2
+            )
+            SELECT w.partkey, round(w.mn, 2) AS min_price, w.suppkey, s.s_name
+            FROM w JOIN supplier s ON w.suppkey = s.s_suppkey
         """,
         "part_supplier_stats": """
             SELECT p_brand, s_name, count(*) AS n_lines,

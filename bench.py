@@ -39,6 +39,7 @@ HEADLINE = [
     "q5_region_revenue",
     "q7_nation_volume",
     "q8_market_share",
+    "q2_min_cost_supplier",
     "part_supplier_stats",
     "events_hourly_rollup",
     "events_sessionize",
@@ -62,6 +63,7 @@ HEADLINE = [
     "dup_clusters_star",
     "minhash_sig",
     "simhash_sig",
+    "rolling_sig",
 ]
 
 
