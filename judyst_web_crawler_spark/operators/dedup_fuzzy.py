@@ -265,18 +265,35 @@ def simhash_jvm(
     )
     base = F.transform(toks, token_hash)
 
-    def _bit(j: int):
-        vote = F.aggregate(
-            base,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + (F.lit(2) * F.shiftright(x.cast("long"), j).bitwiseAND(F.lit(1)) - F.lit(1)),
-        )
-        return F.when(vote > 0, F.lit(1).cast("long") * (1 << j)).otherwise(F.lit(0).cast("long"))
-
-    sim = _bit(0)
-    for j in range(1, bits):
-        sim = sim + _bit(j)
+    # ONE aggregate pass with an array accumulator (one ±1 vote vector
+    # per token, zip_with-summed) instead of `bits` separate passes over
+    # the token array; a literal power-of-two mask array stands in for
+    # per-bit shifts (shiftright takes only int literals)
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        base,
+        zero,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(
+                    x.cast("long").bitwiseAND(m) != 0, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
