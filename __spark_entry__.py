@@ -656,6 +656,26 @@ def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_jvm(docs, bits=16, token_hash=token_hash)
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-first recrawl ranking (operators/recrawl.py): top-5 oldest
+    captures per host, age-gated — the warc_ts revisit scheduler the
+    reference lacks (SURVEY §2.8). Capture table derived from events
+    (event→url, user bucket→host, ts→warc_ts); now is a FIXED epoch so
+    ranks are deterministic."""
+    from judyst_web_crawler_spark.operators.recrawl import stale_rank
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(20)).cast("string")).alias("host"),
+        F.col("ts").alias("warc_ts"),
+    )
+    now = 1706659200  # 2024-01-31T00:00:00Z, just past the events range
+    return stale_rank(pages, now, min_age_s=86400, per_host_k=5).select(
+        "url", "host", "age_s", F.col("stale_rank").cast("int").alias("stale_rank")
+    )
+
+
 def q_rolling_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side order-sensitive rolling-hash fingerprint — hash-checked
     twin of the rows-only pandas path (same fold, ANSI-long-safe
@@ -1162,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "simhash_sig": q_simhash_sig,
         "rolling_sig": q_rolling_sig,
+        "recrawl_priority": q_recrawl_priority,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1779,6 +1800,22 @@ def oracle_sql() -> dict[str, str]:
                        for j in range(16)
                    ) + """) AS BIGINT) AS simhash
             FROM base
+        """,
+        "recrawl_priority": """
+            WITH p AS (
+                SELECT 'u' || event_id AS url,
+                       'h' || (user_id % 20) AS host,
+                       CAST(1706659200 - floor(epoch(ts)) AS BIGINT) AS age_s
+                FROM events
+            ),
+            r AS (
+                SELECT url, host, age_s,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY age_s DESC, url) AS stale_rank
+                FROM p WHERE age_s >= 86400
+            )
+            SELECT url, host, age_s, CAST(stale_rank AS INT) AS stale_rank
+            FROM r WHERE stale_rank <= 5
         """,
         "rolling_sig": """
             WITH toks AS (
