@@ -656,6 +656,28 @@ def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_jvm(docs, bits=16, token_hash=token_hash)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: top-50 most target-like documents by importance
+    weight (gumbel_top_k at temperature=0 = plain top-k, which a SQL
+    oracle can mirror; the Gumbel-resampled path is pinned by pytest —
+    hash-derived noise isn't SQL-expressible)."""
+    from judyst_web_crawler_spark.operators.dsir import dsir_weights, gumbel_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def bucket(gram, n):
+        return F.pmod(
+            F.length(gram) * 31
+            + F.ascii(gram) * 17
+            + F.ascii(F.substring(gram, -1, 1)) * 7,
+            F.lit(n),
+        )
+
+    w = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=bucket)
+    top = gumbel_top_k(w, k=50, temperature=0)
+    return top.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stale-first recrawl ranking (operators/recrawl.py): top-5 oldest
     captures per host, age-gated — the warc_ts revisit scheduler the
@@ -1183,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sig": q_simhash_sig,
         "rolling_sig": q_rolling_sig,
         "recrawl_priority": q_recrawl_priority,
+        "dsir_select": q_dsir_select,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1800,6 +1823,50 @@ def oracle_sql() -> dict[str, str]:
                        for j in range(16)
                    ) + """) AS BIGINT) AS simhash
             FROM base
+        """,
+        "dsir_select": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(t) AS gram FROM toks
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks
+            ),
+            feats AS (
+                SELECT doc_id,
+                       (length(gram) * 31 + ascii(gram) * 17
+                        + ascii(substr(gram, length(gram), 1)) * 7) % 64 AS bucket,
+                       count(*) AS cnt
+                FROM grams GROUP BY 1, 2
+            ),
+            tc AS (SELECT bucket, sum(cnt) AS c FROM feats
+                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+            rc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
+                           (SELECT sum(c) FROM rc) AS rt),
+            ratio AS (
+                SELECT b.bucket,
+                       ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64))
+                       - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64)) AS lr
+                FROM (SELECT range AS bucket FROM range(64)) b
+                LEFT JOIN tc USING (bucket)
+                LEFT JOIN rc USING (bucket)
+                CROSS JOIN tot
+            ),
+            w AS (
+                SELECT f.doc_id, sum(f.cnt * ratio.lr) AS lw
+                FROM feats f JOIN ratio USING (bucket)
+                GROUP BY 1
+            )
+            SELECT doc_id, round(lw, 6) AS log_weight
+            FROM w ORDER BY lw DESC LIMIT 50
         """,
         "recrawl_priority": """
             WITH p AS (

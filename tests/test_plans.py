@@ -110,3 +110,28 @@ def test_seen_anti_join_single_shuffle_pair(spark):
     seen = docs.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("key_hash"))
     q = filter_new_exact(cand, seen, "key_hash")
     assert P.shuffle_count(q) <= 2
+
+
+def test_q2_single_dim_hint_no_python(spark):
+    """q2-shape: one broadcast hint (supplier dim only — the min-price
+    back-join must stay shuffle-eligible at scale) and zero Python ops."""
+    import __spark_entry__ as E
+
+    q = E.q2_min_cost_supplier(spark, SF)
+    assert P.broadcast_hint_count(q) == 1
+    assert P.python_eval_ops(q) == 0
+
+
+def test_dsir_weights_plan_broadcasts_ratio_no_python(spark):
+    """DSIR scoring joins the n_buckets-row ratio table via broadcast and
+    the whole featurize→score pipeline stays JVM-side (the driver query
+    materializes via localCheckpoint, so assert on the operator plan)."""
+    from judyst_web_crawler_spark.operators import dsir as D
+
+    docs = _t(spark, "documents")
+    feats = D.hashed_ngram_features(docs, n_buckets=64)
+    assert P.python_eval_ops(feats) == 0
+    ratio = D.bucket_log_ratio(spark, feats, feats, n_buckets=64)
+    w = D.importance_weights(feats, ratio)
+    assert P.broadcast_hint_count(w) >= 1
+    assert P.python_eval_ops(w) == 0
