@@ -39,6 +39,18 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Predicates the scan applies at PARTITION level (directory
+    pruning, hive layout) — bytes for pruned partitions are never read."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters:\s*\[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> set[str]:
     """Columns the scan actually reads (column pruning check)."""
     plan = formatted_plan(df)
