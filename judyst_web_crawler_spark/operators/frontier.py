@@ -172,6 +172,52 @@ class FrontierEngine:
         )
         self.catalog.append(FRONTIER_TABLE, frontier, partition_by=["depth"])
 
+    def forget(self, urls: DataFrame) -> None:
+        """Un-retire urls: rewrite DONE and SEEN without them so a
+        recrawl generation can re-fetch (Iceberg's rewrite-files shape;
+        at 10¹⁰ urls you bucket these tables by key hash and rewrite
+        only affected buckets — here they're compacted small tables).
+        The incremental bloom keeps the stale keys: it is only a
+        PREfilter, the exact anti-join against the rewritten SEEN is
+        authoritative, so staleness costs prefilter efficiency for the
+        forgotten keys, never correctness."""
+        u = urls.select("url").distinct().localCheckpoint(eager=True)
+        # FRONTIER too: otherwise the url's ORIGINAL row (better
+        # priority band) survives and the wave's url-collapse window
+        # would schedule it with first-crawl priority instead of the
+        # stale rank. Idempotent — rerun the whole forget on failure.
+        for t, pby in (
+            (FRONTIER_TABLE, ["depth"]),
+            (DONE_TABLE, None),
+            (SEEN_TABLE, None),
+        ):
+            if self.catalog.exists(t):
+                kept = self.catalog.read(t).join(u, on="url", how="left_anti")
+                kept = kept.localCheckpoint(eager=True)  # read before overwrite
+                self.catalog.overwrite(t, kept, partition_by=pby)
+
+    def enqueue_recrawl(
+        self,
+        pages: DataFrame,
+        now,
+        min_age_s: int = 0,
+        per_host_k: int | None = None,
+    ) -> int:
+        """Stale-first recrawl intake (operators/recrawl.py): rank the
+        oldest captures per host, un-retire them, and enqueue them in
+        the RECRAWL priority band so fresh discoveries still win ties.
+        Returns the number of urls enqueued."""
+        from judyst_web_crawler_spark.operators.recrawl import recrawl_seeds
+
+        seeds = recrawl_seeds(
+            pages, now, min_age_s=min_age_s, per_host_k=per_host_k
+        ).localCheckpoint(eager=True)
+        n = seeds.count()
+        if n:
+            self.forget(seeds)
+            self.enqueue(seeds, depth=0)
+        return n
+
     # -- wave --------------------------------------------------------------
 
     def pending(self) -> DataFrame:

@@ -57,3 +57,77 @@ def test_host_derived_when_absent(spark):
     pages = _pages(spark).drop("host")
     out = RC.stale_rank(pages, NOW).collect()
     assert {r["host"] for r in out} == {"a.example", "b.example"}
+
+
+def test_engine_recrawl_generation(spark, tmp_path):
+    """Full flow: crawl everything → enqueue_recrawl un-retires the
+    stalest page per host → the next waves re-fetch EXACTLY those, and
+    at budget=1 each host's stalest url is fetched in the first recrawl
+    wave (priority band = stale rank)."""
+    import tempfile
+
+    from judyst_web_crawler_spark.datagen import pages_df
+    from judyst_web_crawler_spark.operators.frontier import (
+        DOCS_TABLE,
+        FrontierEngine,
+    )
+    from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
+    from pyspark.sql import Window
+
+    pages = pages_df(spark, n_rows=24, n_hosts=3, seed=21).cache()
+    # deterministic warc_ts: older for lexically-smaller urls
+    w = Window.orderBy("url")
+    aged = pages.withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.lit(1_000) + F.row_number().over(w) * 60),
+    )
+    seeds = (
+        pages.select("url")
+        .withColumn("_rn", F.row_number().over(w))
+        .select("url", F.lit(2).alias("page_seq"),
+                F.col("_rn").cast("int").alias("intra_page_seq"))
+    )
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    eng = FrontierEngine(spark, cat, use_bloom=True)
+    eng.bootstrap(seeds)
+    eng.run(pages, budget=10, max_waves=10)
+    assert cat.read(DOCS_TABLE).count() == 24
+
+    # recrawl the 2 stalest per host (datagen hosts are skewed — derive
+    # the expected count from the data, not from n_hosts)
+    n_hosts = pages.select(F.expr("parse_url(url, 'HOST')")).distinct().count()
+    n = eng.enqueue_recrawl(aged, now=1_000_000, per_host_k=2)
+    assert n == 2 * n_hosts
+    stats = eng.run(pages, budget=1, max_waves=10)
+    docs = cat.read(DOCS_TABLE)
+    assert docs.count() == 24 + n
+    refetched = (
+        docs.groupBy("url").count().filter("count = 2").select("url").collect()
+    )
+    assert len(refetched) == n
+    # expected: per host, the 2 oldest warc_ts urls
+    want = {
+        r["url"]
+        for r in aged.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.expr("parse_url(url, 'HOST')"))
+                .orderBy(F.col("warc_ts").asc(), F.col("url"))
+            ),
+        ).filter("rk <= 2").select("url").collect()
+    }
+    assert {r["url"] for r in refetched} == want
+    # budget=1: first recrawl wave fetched each host's STALEST url
+    first_wave = min(s["wave"] for s in stats)
+    wave_urls = {r["url"] for r in docs.filter(F.col("wave") == first_wave).collect()}
+    stalest = {
+        r["url"]
+        for r in aged.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.expr("parse_url(url, 'HOST')"))
+                .orderBy(F.col("warc_ts").asc(), F.col("url"))
+            ),
+        ).filter("rk = 1").select("url").collect()
+    }
+    assert stalest <= wave_urls
