@@ -1866,7 +1866,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             SELECT doc_id, round(lw, 6) AS log_weight
-            FROM w ORDER BY lw DESC LIMIT 50
+            FROM w ORDER BY lw DESC, doc_id LIMIT 50
         """,
         "recrawl_priority": """
             WITH p AS (

@@ -64,6 +64,8 @@ HEADLINE = [
     "minhash_sig",
     "simhash_sig",
     "rolling_sig",
+    "dsir_select",
+    "recrawl_priority",
 ]
 
 

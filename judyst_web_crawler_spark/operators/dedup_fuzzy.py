@@ -294,7 +294,11 @@ def simhash_jvm(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    # NULL text → 0, matching the per-bit formulation (where each
+    # NULL-vote WHEN fell through to 0) and the empty-string case
+    return docs.select(
+        F.col(id_col), F.coalesce(sim, F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def minhash_lsh_candidates(

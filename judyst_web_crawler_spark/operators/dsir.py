@@ -193,7 +193,10 @@ def gumbel_top_k(
     )
     return (
         weights.select(id_col, "log_weight", key.alias("_key"))
-        .orderBy(F.col("_key").desc())
+        # id tiebreak: equal weights (identical token multisets — planted
+        # duplicates are common in dedup corpora) at the k-boundary must
+        # cut deterministically, and identically to any SQL oracle
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("_key")
     )

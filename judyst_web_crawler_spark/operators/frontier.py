@@ -182,17 +182,24 @@ class FrontierEngine:
         authoritative, so staleness costs prefilter efficiency for the
         forgotten keys, never correctness."""
         u = urls.select("url").distinct().localCheckpoint(eager=True)
+        # SEEN dedups by CANONICAL key, not url: a variant url that
+        # shares the key would keep its seen row under a url anti-join
+        # and the recrawl would re-retire as 'dup' — rewrite SEEN on the
+        # forgotten urls' canonical key hashes instead.
+        keys = u.select(
+            C.key_hash(C.canonical_url(F.col("url"))).alias("key_hash")
+        ).distinct()
         # FRONTIER too: otherwise the url's ORIGINAL row (better
         # priority band) survives and the wave's url-collapse window
         # would schedule it with first-crawl priority instead of the
         # stale rank. Idempotent — rerun the whole forget on failure.
-        for t, pby in (
-            (FRONTIER_TABLE, ["depth"]),
-            (DONE_TABLE, None),
-            (SEEN_TABLE, None),
+        for t, on_df, on_col, pby in (
+            (FRONTIER_TABLE, u, "url", ["depth"]),
+            (DONE_TABLE, u, "url", None),
+            (SEEN_TABLE, keys, "key_hash", None),
         ):
             if self.catalog.exists(t):
-                kept = self.catalog.read(t).join(u, on="url", how="left_anti")
+                kept = self.catalog.read(t).join(on_df, on=on_col, how="left_anti")
                 kept = kept.localCheckpoint(eager=True)  # read before overwrite
                 self.catalog.overwrite(t, kept, partition_by=pby)
 
@@ -204,10 +211,15 @@ class FrontierEngine:
         per_host_k: int | None = None,
     ) -> int:
         """Stale-first recrawl intake (operators/recrawl.py): rank the
-        oldest captures per host, un-retire them, and enqueue them in
-        the RECRAWL priority band so fresh discoveries still win ties.
-        Returns the number of urls enqueued."""
-        from judyst_web_crawler_spark.operators.recrawl import recrawl_seeds
+        oldest captures per host, un-retire them, and enqueue them at
+        ``RECRAWL_DEPTH`` — priority sorts depth FIRST, so the whole
+        recrawl generation ranks after every fresh discovery at any real
+        depth (a depth-0 band would instead OUTRANK depth≥1 discoveries
+        and starve first fetches). Returns the number of urls enqueued."""
+        from judyst_web_crawler_spark.operators.recrawl import (
+            RECRAWL_DEPTH,
+            recrawl_seeds,
+        )
 
         seeds = recrawl_seeds(
             pages, now, min_age_s=min_age_s, per_host_k=per_host_k
@@ -215,7 +227,7 @@ class FrontierEngine:
         n = seeds.count()
         if n:
             self.forget(seeds)
-            self.enqueue(seeds, depth=0)
+            self.enqueue(seeds, depth=RECRAWL_DEPTH)
         return n
 
     # -- wave --------------------------------------------------------------
@@ -251,6 +263,14 @@ class FrontierEngine:
             return
         docs = self.catalog.read(DOCS_TABLE)
         orphans = docs.select("url", "key_hash", "wave")
+        # only waves that never reached the metrics commit (a wave's LAST
+        # commit) are crash suspects. Without this filter, urls that
+        # ``forget()`` deliberately un-retired look like orphans (docs
+        # row, no done row) and repair would silently re-retire them,
+        # cancelling the recrawl generation.
+        if self.catalog.exists(METRICS_TABLE):
+            committed = self.catalog.read(METRICS_TABLE).select("wave").distinct()
+            orphans = orphans.join(committed, on="wave", how="left_anti")
         if self.catalog.exists(DONE_TABLE):
             orphans = orphans.join(
                 self.catalog.read(DONE_TABLE).select("url"), on="url", how="left_anti"

@@ -30,8 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# fresh link discoveries enqueue at page_seq >= 2 (bootstrap) — recrawls
-# sit one band later so a changed listing never starves first fetches
+# priority sorts (depth, page_seq, intra_page_seq) ASC with depth
+# FIRST, so the band that actually subordinates recrawls to every fresh
+# discovery is DEPTH: FrontierEngine.enqueue_recrawl enqueues at
+# RECRAWL_DEPTH, far past any real crawl depth. page_seq keeps a band
+# marker too so recrawl rows are self-identifying in the frontier table.
+RECRAWL_DEPTH = 1_000_000
 RECRAWL_PAGE_SEQ = 1_000_000
 
 
@@ -47,21 +51,33 @@ def stale_rank(
     """(url, host, age_s, stale_rank): oldest capture first within each
     host; deterministic (ties broken on url). ``now`` is an epoch-seconds
     literal or Column — passed in, never ``current_timestamp()``, so
-    retried tasks rank identically."""
+    retried tasks rank identically.
+
+    Multi-capture urls (the normal WARC shape: one row per capture)
+    collapse to their LATEST capture before ranking — staleness of a
+    page is the age of its newest copy, and without the collapse one
+    url's capture history would occupy several ``per_host_k`` slots and
+    enqueue duplicate frontier rows."""
     from judyst_web_crawler_spark.functions import canonical as C
 
     now_c = F.lit(now) if not hasattr(now, "_jc") else now
-    # cast-to-long == floor(epoch(ts)) under the engine's UTC session TZ
-    # (the DuckDB-parity idiom used by the sessionize oracle)
-    age = (now_c - F.col(ts_col).cast("timestamp").cast("long")).cast("long")
     host = (
         F.col(host_col) if host_col in pages.columns else C.url_host(F.col(url_col))
     )
-    ranked = (
+    # cast-to-long == floor(epoch(ts)) under the engine's UTC session TZ
+    # (the DuckDB-parity idiom used by the sessionize oracle)
+    latest = (
         pages.select(
             F.col(url_col).alias("url"),
             host.alias("host"),
-            age.alias("age_s"),
+            F.col(ts_col).cast("timestamp").cast("long").alias("_ts"),
+        )
+        .groupBy("url", "host")
+        .agg(F.max("_ts").alias("_ts"))
+    )
+    ranked = (
+        latest.select(
+            "url", "host", (now_c - F.col("_ts")).cast("long").alias("age_s")
         )
         .filter(F.col("age_s") >= min_age_s)
         .withColumn(

@@ -154,7 +154,7 @@ def ann_topk(
 
 def train_ivf_centroids(
     df: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -172,6 +172,8 @@ def train_ivf_centroids(
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     )
+    if not rows:
+        raise ValueError("train_ivf_centroids: empty input — nothing to index")
     mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
@@ -190,11 +192,15 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = False,
 ) -> DataFrame:
     """(id, cell) — nearest-centroid assignment, vectorized per Arrow
     batch against the broadcast centroid matrix. At 100 TB this is the
     one full pass; probes then touch only nprobe/n_cells of the data
-    (write the output bucketed by ``cell`` for partition pruning)."""
+    (write the output bucketed by ``cell`` for partition pruning).
+    ``include_vec`` carries the vector through the same pass (as
+    array<double>) so index builds need no post-assignment join back to
+    the vector table."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids.astype(np.float64))
 
@@ -205,9 +211,17 @@ def ivf_assign(
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d2 = (mat**2).sum(1)[:, None] - 2 * mat @ cents.T + (cents**2).sum(1)[None, :]
-            yield pd.DataFrame({id_col: pdf[id_col], "cell": d2.argmin(axis=1).astype(np.int32)})
+            out = {id_col: pdf[id_col], "cell": d2.argmin(axis=1).astype(np.int32)}
+            if include_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(compute, f"{id_col} long, cell int")
+    schema = (
+        f"{id_col} long, cell int, {vec_col} array<double>"
+        if include_vec
+        else f"{id_col} long, cell int"
+    )
+    return df.select(id_col, vec_col).mapInPandas(compute, schema)
 
 
 def ivf_topk(
@@ -250,15 +264,14 @@ def ivf_index_write(
     import json
     import os
 
-    dim = len(df.select(vec_col).first()[0])
     cents = train_ivf_centroids(
-        df, dim, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+        df, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    # ONE pass: assignment carries the vector (no shuffle-join of the
+    # full vector table back onto its own cell labels)
+    assigned = ivf_assign(df, cents, id_col, vec_col, include_vec=True)
     (
-        df.select(id_col, vec_col)
-        .join(assigned, on=id_col)
-        .write.mode("overwrite")
+        assigned.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "vectors"))
     )

@@ -28,14 +28,34 @@ def simple_plan(df: DataFrame) -> str:
     return _explain(df, "simple")
 
 
+def _split_predicates(body: str) -> list[str]:
+    """Split a bracket body on TOP-LEVEL commas only — `In(cell, [0,1])`
+    is one predicate, not three fragments."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filter predicates the parquet scan accepted for pushdown."""
     plan = formatted_plan(df)
     out: list[str] = []
     for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", plan):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+        out.extend(_split_predicates(m.group(1)))
     return out
 
 
@@ -45,9 +65,7 @@ def partition_filters(df: DataFrame) -> list[str]:
     plan = formatted_plan(df)
     out: list[str] = []
     for m in re.finditer(r"PartitionFilters:\s*\[([^\]]*)\]", plan):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+        out.extend(_split_predicates(m.group(1)))
     return out
 
 

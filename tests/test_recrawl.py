@@ -131,3 +131,62 @@ def test_engine_recrawl_generation(spark, tmp_path):
         ).filter("rk = 1").select("url").collect()
     }
     assert stalest <= wave_urls
+
+
+def test_multi_capture_url_collapses_to_latest(spark):
+    """Two captures of one url = ONE candidate aged by the NEWEST
+    capture; per_host_k slots go to distinct pages."""
+    rows = [
+        ("http://a.example/x", "a.example", 100),
+        ("http://a.example/x", "a.example", 800_000),  # newest copy
+        ("http://a.example/y", "a.example", 400),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, host string, epoch long"
+    ).select("url", "host", F.timestamp_seconds("epoch").alias("warc_ts"))
+    got = {r["url"]: (r["stale_rank"], r["age_s"])
+           for r in RC.stale_rank(pages, NOW, per_host_k=2).collect()}
+    assert len(got) == 2
+    assert got["http://a.example/y"][0] == 1          # older LATEST copy
+    assert got["http://a.example/x"] == (2, NOW - 800_000)
+
+
+def test_recrawl_survives_engine_restart_repair(spark, tmp_path):
+    """A FRESH engine over the catalog after enqueue_recrawl runs crash
+    repair first — repair must not mistake forgotten urls (docs row, no
+    done row, but from a COMMITTED wave) for crash orphans and re-retire
+    them."""
+    from judyst_web_crawler_spark.datagen import pages_df
+    from judyst_web_crawler_spark.operators.frontier import (
+        DOCS_TABLE,
+        FrontierEngine,
+    )
+    from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
+    from pyspark.sql import Window
+
+    pages = pages_df(spark, n_rows=12, n_hosts=2, seed=5).cache()
+    w = Window.orderBy("url")
+    aged = pages.withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(100) + F.row_number().over(w))
+    )
+    seeds = (
+        pages.select("url")
+        .withColumn("_rn", F.row_number().over(w))
+        .select("url", F.lit(2).alias("page_seq"),
+                F.col("_rn").cast("int").alias("intra_page_seq"))
+    )
+    root = str(tmp_path / "cat")
+    cat = SnapshotCatalog(spark, root)
+    eng = FrontierEngine(spark, cat, use_bloom=True)
+    eng.bootstrap(seeds)
+    eng.run(pages, budget=6, max_waves=10)
+    n = eng.enqueue_recrawl(aged, now=1_000_000, per_host_k=1)
+    assert n >= 1
+
+    # restart: new engine, repair runs before its first wave
+    cat2 = SnapshotCatalog(spark, root)
+    eng2 = FrontierEngine(spark, cat2, use_bloom=True)
+    eng2.run(pages, budget=6, max_waves=10)
+    docs = cat2.read(DOCS_TABLE)
+    assert docs.count() == 12 + n       # recrawl happened, not cancelled
+    assert docs.groupBy("url").count().filter("count = 2").count() == n
