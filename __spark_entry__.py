@@ -678,6 +678,52 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE composed pipeline —
+    the integrative query over the individually-oracled stages: Gopher
+    quality gate (Rae et al. 2021) ∧ exact-dedup canonical (first doc
+    per normalized fingerprint) ∧ DSIR target-likeness > 0 (Xie et al.
+    2023, lang='en' target). Emits the per-document decision trail so a
+    corpus audit can see WHY each document was kept or dropped."""
+    from judyst_web_crawler_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = T.gopher_quality_flags("text")
+    staged = docs.select(
+        "doc_id",
+        flags["gopher_pass"].alias("gopher_pass"),
+        T.normalized_fingerprint("text").alias("fingerprint"),
+    )
+    canon = staged.withColumn(
+        "is_canonical",
+        F.row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")) == 1,
+    )
+
+    def bucket(gram, n):
+        return F.pmod(
+            F.length(gram) * 31
+            + F.ascii(gram) * 17
+            + F.ascii(F.substring(gram, -1, 1)) * 7,
+            F.lit(n),
+        )
+
+    weights = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=bucket)
+    return (
+        canon.join(weights, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "gopher_pass",
+            "is_canonical",
+            F.round("log_weight", 6).alias("log_weight"),
+            (
+                F.col("gopher_pass")
+                & F.col("is_canonical")
+                & F.coalesce(F.col("log_weight") > 0, F.lit(False))
+            ).alias("kept"),
+        )
+    )
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stale-first recrawl ranking (operators/recrawl.py): top-5 oldest
     captures per host, age-gated — the warc_ts revisit scheduler the
@@ -1206,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_sig": q_rolling_sig,
         "recrawl_priority": q_recrawl_priority,
         "dsir_select": q_dsir_select,
+        "corpus_prep": q_corpus_prep,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
@@ -1867,6 +1914,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(lw, 6) AS log_weight
             FROM w ORDER BY lw DESC, doc_id LIMIT 50
+        """,
+        "corpus_prep": """
+            WITH wds AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+                       list_filter(regexp_split_to_array(text, '\\n'), x -> trim(x) <> '') AS lines
+                FROM documents
+            ),
+            gm AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                           / greatest(len(words), 1) AS mean_word_len,
+                       len(list_filter(words, x -> regexp_matches(x, '[A-Za-zА-Яа-яёЁ]')))
+                           / greatest(len(words), 1) AS alpha_word_ratio,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+                           / greatest(len(lines), 1) AS bullet_line_ratio,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                           / greatest(len(lines), 1) AS ellipsis_line_ratio
+                FROM wds
+            ),
+            g AS (
+                SELECT doc_id,
+                       (n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND alpha_word_ratio >= 0.8
+                        AND bullet_line_ratio < 0.9
+                        AND ellipsis_line_ratio < 0.3) AS gopher_pass
+                FROM gm
+            ),
+            canon AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                           '\\s+', ' ', 'g'))
+                           ORDER BY doc_id) = 1 AS is_canonical
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(t) AS gram FROM toks
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks
+            ),
+            feats AS (
+                SELECT doc_id,
+                       (length(gram) * 31 + ascii(gram) * 17
+                        + ascii(substr(gram, length(gram), 1)) * 7) % 64 AS bucket,
+                       count(*) AS cnt
+                FROM grams GROUP BY 1, 2
+            ),
+            tc AS (SELECT bucket, sum(cnt) AS c FROM feats
+                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+            rc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
+                           (SELECT sum(c) FROM rc) AS rt),
+            ratio AS (
+                SELECT b.bucket,
+                       ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64))
+                       - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64)) AS lr
+                FROM (SELECT range AS bucket FROM range(64)) b
+                LEFT JOIN tc USING (bucket)
+                LEFT JOIN rc USING (bucket)
+                CROSS JOIN tot
+            ),
+            w AS (
+                SELECT f.doc_id, sum(f.cnt * ratio.lr) AS lw
+                FROM feats f JOIN ratio USING (bucket)
+                GROUP BY 1
+            )
+            SELECT d.doc_id, g.gopher_pass, canon.is_canonical,
+                   round(w.lw, 6) AS log_weight,
+                   (g.gopher_pass AND canon.is_canonical
+                    AND coalesce(w.lw > 0, false)) AS kept
+            FROM documents d
+            JOIN g USING (doc_id)
+            JOIN canon USING (doc_id)
+            LEFT JOIN w USING (doc_id)
         """,
         "recrawl_priority": """
             WITH p AS (

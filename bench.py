@@ -66,6 +66,7 @@ HEADLINE = [
     "rolling_sig",
     "dsir_select",
     "recrawl_priority",
+    "corpus_prep",
 ]
 
 
