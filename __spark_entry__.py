@@ -617,6 +617,97 @@ _MH_B = [1581559892, 220106707, 1453201078, 1590571865,
          1915941032, 1171165722, 186699713, 1268073012]
 
 
+# SQL mirrors of the shared stage fragments, defined ONCE so the three
+# oracles composing them (gopher_quality / dsir_weights / dsir_select /
+# corpus_prep) cannot drift from each other or from the Spark side.
+_SH = "(length({c}) * 31 + ascii({c}) * 17 + ascii(substr({c}, length({c}), 1)) * 7)"
+
+# DSIR over 64 hashed unigram+bigram buckets, target = lang='en'.
+# coalesce on the totals mirrors the Spark fit's `or 0` (an empty
+# target predicate must yield finite prior-only ratios, not NULLs).
+_DSIR_CTES_SQL = f"""
+            dsir_toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            dsir_grams AS (
+                SELECT doc_id, unnest(t) AS gram FROM dsir_toks
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM dsir_toks
+            ),
+            dsir_feats AS (
+                SELECT doc_id, {_SH.format(c="gram")} % 64 AS bucket,
+                       count(*) AS cnt
+                FROM dsir_grams GROUP BY 1, 2
+            ),
+            dsir_tc AS (SELECT bucket, sum(cnt) AS c FROM dsir_feats
+                        JOIN documents USING (doc_id)
+                        WHERE lang = 'en' GROUP BY 1),
+            dsir_rc AS (SELECT bucket, sum(cnt) AS c FROM dsir_feats GROUP BY 1),
+            dsir_tot AS (SELECT coalesce((SELECT sum(c) FROM dsir_tc), 0) AS tt,
+                                coalesce((SELECT sum(c) FROM dsir_rc), 0) AS rt),
+            dsir_ratio AS (
+                SELECT b.bucket,
+                       ln((coalesce(dsir_tc.c, 0) + 1.0) / (dsir_tot.tt + 64))
+                       - ln((coalesce(dsir_rc.c, 0) + 1.0) / (dsir_tot.rt + 64)) AS lr
+                FROM (SELECT range AS bucket FROM range(64)) b
+                LEFT JOIN dsir_tc USING (bucket)
+                LEFT JOIN dsir_rc USING (bucket)
+                CROSS JOIN dsir_tot
+            ),
+            dsir_w AS (
+                SELECT f.doc_id, sum(f.cnt * dsir_ratio.lr) AS lw
+                FROM dsir_feats f JOIN dsir_ratio USING (bucket)
+                GROUP BY 1
+            )"""
+
+# Gopher quality rules (Rae et al. 2021 §A1.1), thresholds stated once.
+_GOPHER_CTES_SQL = """
+            goph_w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+                       list_filter(regexp_split_to_array(text, '\\n'), x -> trim(x) <> '') AS lines
+                FROM documents
+            ),
+            goph_m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                           / greatest(len(words), 1) AS mean_word_len,
+                       len(list_filter(words, x -> regexp_matches(x, '[A-Za-zА-Яа-яёЁ]')))
+                           / greatest(len(words), 1) AS alpha_word_ratio,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+                           / greatest(len(lines), 1) AS bullet_line_ratio,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                           / greatest(len(lines), 1) AS ellipsis_line_ratio
+                FROM goph_w
+            )"""
+
+_GOPHER_PASS_SQL = """(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND alpha_word_ratio >= 0.8
+                    AND bullet_line_ratio < 0.9
+                    AND ellipsis_line_ratio < 0.3)"""
+
+
+def _surrogate_hash(col, n: int = 2_147_483_647):
+    """The arithmetic token/gram hash shared by every oracle-checked
+    JVM-twin query (minhash_sig/simhash_sig/rolling_sig/dsir_*/
+    corpus_prep): length·31 + first-char·17 + last-char·7, mod n —
+    exactly mirrorable in DuckDB SQL (see ``_SURROGATE_HASH_SQL``). ONE
+    definition so Spark-side and SQL-side can never drift apart
+    per-query."""
+    return F.pmod(
+        F.length(col) * 31 + F.ascii(col) * 17 + F.ascii(F.substring(col, -1, 1)) * 7,
+        F.lit(n),
+    )
+
+
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side MinHash signatures (k=8) over word tokens — the
     hash-checked twin of the rows-only pandas shingle path: same
@@ -627,13 +718,7 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
 
-    def token_hash(t):
-        return F.pmod(
-            F.length(t) * 31 + F.ascii(t) * 17 + F.ascii(F.substring(t, -1, 1)) * 7,
-            F.lit(2_147_483_647),
-        )
-
-    sigs = minhash_signatures_jvm(docs, _MH_A, _MH_B, token_hash=token_hash)
+    sigs = minhash_signatures_jvm(docs, _MH_A, _MH_B, token_hash=lambda t: _surrogate_hash(t))
     return sigs.select(
         "doc_id", *[F.col("sig")[i].alias(f"sig_{i}") for i in range(8)]
     )
@@ -647,13 +732,7 @@ def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
 
-    def token_hash(t):
-        return F.pmod(
-            F.length(t) * 31 + F.ascii(t) * 17 + F.ascii(F.substring(t, -1, 1)) * 7,
-            F.lit(2_147_483_647),
-        )
-
-    return simhash_jvm(docs, bits=16, token_hash=token_hash)
+    return simhash_jvm(docs, bits=16, token_hash=lambda t: _surrogate_hash(t))
 
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,15 +744,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
 
-    def bucket(gram, n):
-        return F.pmod(
-            F.length(gram) * 31
-            + F.ascii(gram) * 17
-            + F.ascii(F.substring(gram, -1, 1)) * 7,
-            F.lit(n),
-        )
-
-    w = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=bucket)
+    w = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=_surrogate_hash)
     top = gumbel_top_k(w, k=50, temperature=0)
     return top.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
 
@@ -699,15 +770,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")) == 1,
     )
 
-    def bucket(gram, n):
-        return F.pmod(
-            F.length(gram) * 31
-            + F.ascii(gram) * 17
-            + F.ascii(F.substring(gram, -1, 1)) * 7,
-            F.lit(n),
-        )
-
-    weights = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=bucket)
+    weights = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=_surrogate_hash)
     return (
         canon.join(weights, on="doc_id", how="left")
         .select(
@@ -750,14 +813,8 @@ def q_rolling_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     modulus, arithmetic token hash DuckDB computes identically)."""
     docs = _t(spark, sf_dir, "documents")
 
-    def token_hash(t):
-        return F.pmod(
-            F.length(t) * 31 + F.ascii(t) * 17 + F.ascii(F.substring(t, -1, 1)) * 7,
-            F.lit(2_147_483_647),
-        )
-
     return docs.select(
-        "doc_id", T.rolling_fingerprint_col("text", token_hash=token_hash).alias("fp")
+        "doc_id", T.rolling_fingerprint_col("text", token_hash=lambda t: _surrogate_hash(t)).alias("fp")
     )
 
 
@@ -773,15 +830,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
 
-    def bucket(gram, n):
-        return F.pmod(
-            F.length(gram) * 31
-            + F.ascii(gram) * 17
-            + F.ascii(F.substring(gram, -1, 1)) * 7,
-            F.lit(n),
-        )
-
-    w = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=bucket)
+    w = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=_surrogate_hash)
     return w.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
 
 
@@ -1759,38 +1808,16 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
-        "gopher_quality": """
-            WITH w AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
-                       list_filter(regexp_split_to_array(text, '\\n'), x -> trim(x) <> '') AS lines
-                FROM documents
-            ),
-            m AS (
-                SELECT doc_id,
-                       len(words) AS n_words,
-                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
-                           / greatest(len(words), 1) AS mean_word_len,
-                       len(list_filter(words, x -> regexp_matches(x, '[A-Za-zА-Яа-яёЁ]')))
-                           / greatest(len(words), 1) AS alpha_word_ratio,
-                       len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
-                           / greatest(len(lines), 1) AS bullet_line_ratio,
-                       len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
-                           / greatest(len(lines), 1) AS ellipsis_line_ratio
-                FROM w
-            )
+        "gopher_quality": f"""
+            WITH {_GOPHER_CTES_SQL}
             SELECT doc_id,
                    CAST(n_words AS BIGINT) AS n_words,
                    round(mean_word_len, 6) AS mean_word_len,
                    round(alpha_word_ratio, 6) AS alpha_word_ratio,
                    round(bullet_line_ratio, 6) AS bullet_line_ratio,
                    round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
-                   (n_words >= 50 AND n_words <= 100000
-                    AND mean_word_len >= 3 AND mean_word_len <= 10
-                    AND alpha_word_ratio >= 0.8
-                    AND bullet_line_ratio < 0.9
-                    AND ellipsis_line_ratio < 0.3) AS gopher_pass
-            FROM m
+                   {_GOPHER_PASS_SQL} AS gopher_pass
+            FROM goph_m
         """,
         "c4_clean": """
             WITH n AS (
@@ -1871,78 +1898,15 @@ def oracle_sql() -> dict[str, str]:
                    ) + """) AS BIGINT) AS simhash
             FROM base
         """,
-        "dsir_select": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS t
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id, unnest(t) AS gram FROM toks
-                UNION ALL
-                SELECT doc_id,
-                       unnest(list_transform(range(1, len(t)),
-                                             i -> t[i] || ' ' || t[i + 1])) AS gram
-                FROM toks
-            ),
-            feats AS (
-                SELECT doc_id,
-                       (length(gram) * 31 + ascii(gram) * 17
-                        + ascii(substr(gram, length(gram), 1)) * 7) % 64 AS bucket,
-                       count(*) AS cnt
-                FROM grams GROUP BY 1, 2
-            ),
-            tc AS (SELECT bucket, sum(cnt) AS c FROM feats
-                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
-            rc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
-            tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
-                           (SELECT sum(c) FROM rc) AS rt),
-            ratio AS (
-                SELECT b.bucket,
-                       ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64))
-                       - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64)) AS lr
-                FROM (SELECT range AS bucket FROM range(64)) b
-                LEFT JOIN tc USING (bucket)
-                LEFT JOIN rc USING (bucket)
-                CROSS JOIN tot
-            ),
-            w AS (
-                SELECT f.doc_id, sum(f.cnt * ratio.lr) AS lw
-                FROM feats f JOIN ratio USING (bucket)
-                GROUP BY 1
-            )
+        "dsir_select": f"""
+            WITH {_DSIR_CTES_SQL}
             SELECT doc_id, round(lw, 6) AS log_weight
-            FROM w ORDER BY lw DESC, doc_id LIMIT 50
+            FROM dsir_w ORDER BY lw DESC, doc_id LIMIT 50
         """,
-        "corpus_prep": """
-            WITH wds AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
-                       list_filter(regexp_split_to_array(text, '\\n'), x -> trim(x) <> '') AS lines
-                FROM documents
-            ),
-            gm AS (
-                SELECT doc_id,
-                       len(words) AS n_words,
-                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
-                           / greatest(len(words), 1) AS mean_word_len,
-                       len(list_filter(words, x -> regexp_matches(x, '[A-Za-zА-Яа-яёЁ]')))
-                           / greatest(len(words), 1) AS alpha_word_ratio,
-                       len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
-                           / greatest(len(lines), 1) AS bullet_line_ratio,
-                       len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
-                           / greatest(len(lines), 1) AS ellipsis_line_ratio
-                FROM wds
-            ),
+        "corpus_prep": f"""
+            WITH {_GOPHER_CTES_SQL},
             g AS (
-                SELECT doc_id,
-                       (n_words >= 50 AND n_words <= 100000
-                        AND mean_word_len >= 3 AND mean_word_len <= 10
-                        AND alpha_word_ratio >= 0.8
-                        AND bullet_line_ratio < 0.9
-                        AND ellipsis_line_ratio < 0.3) AS gopher_pass
-                FROM gm
+                SELECT doc_id, {_GOPHER_PASS_SQL} AS gopher_pass FROM goph_m
             ),
             canon AS (
                 SELECT doc_id,
@@ -1951,55 +1915,15 @@ def oracle_sql() -> dict[str, str]:
                                                            '\\s+', ' ', 'g'))
                            ORDER BY doc_id) = 1 AS is_canonical
                 FROM documents
-            ),
-            toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS t
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id, unnest(t) AS gram FROM toks
-                UNION ALL
-                SELECT doc_id,
-                       unnest(list_transform(range(1, len(t)),
-                                             i -> t[i] || ' ' || t[i + 1])) AS gram
-                FROM toks
-            ),
-            feats AS (
-                SELECT doc_id,
-                       (length(gram) * 31 + ascii(gram) * 17
-                        + ascii(substr(gram, length(gram), 1)) * 7) % 64 AS bucket,
-                       count(*) AS cnt
-                FROM grams GROUP BY 1, 2
-            ),
-            tc AS (SELECT bucket, sum(cnt) AS c FROM feats
-                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
-            rc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
-            tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
-                           (SELECT sum(c) FROM rc) AS rt),
-            ratio AS (
-                SELECT b.bucket,
-                       ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64))
-                       - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64)) AS lr
-                FROM (SELECT range AS bucket FROM range(64)) b
-                LEFT JOIN tc USING (bucket)
-                LEFT JOIN rc USING (bucket)
-                CROSS JOIN tot
-            ),
-            w AS (
-                SELECT f.doc_id, sum(f.cnt * ratio.lr) AS lw
-                FROM feats f JOIN ratio USING (bucket)
-                GROUP BY 1
-            )
+            ),{_DSIR_CTES_SQL}
             SELECT d.doc_id, g.gopher_pass, canon.is_canonical,
-                   round(w.lw, 6) AS log_weight,
+                   round(dsir_w.lw, 6) AS log_weight,
                    (g.gopher_pass AND canon.is_canonical
-                    AND coalesce(w.lw > 0, false)) AS kept
+                    AND coalesce(dsir_w.lw > 0, false)) AS kept
             FROM documents d
             JOIN g USING (doc_id)
             JOIN canon USING (doc_id)
-            LEFT JOIN w USING (doc_id)
+            LEFT JOIN dsir_w USING (doc_id)
         """,
         "recrawl_priority": """
             WITH p AS (
@@ -2037,45 +1961,9 @@ def oracle_sql() -> dict[str, str]:
                        AS fp
             FROM base
         """,
-        "dsir_weights": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS t
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id, unnest(t) AS gram FROM toks
-                UNION ALL
-                SELECT doc_id,
-                       unnest(list_transform(range(1, len(t)),
-                                             i -> t[i] || ' ' || t[i + 1])) AS gram
-                FROM toks
-            ),
-            feats AS (
-                SELECT doc_id,
-                       (length(gram) * 31 + ascii(gram) * 17
-                        + ascii(substr(gram, length(gram), 1)) * 7) % 64 AS bucket,
-                       count(*) AS cnt
-                FROM grams GROUP BY 1, 2
-            ),
-            tc AS (SELECT bucket, sum(cnt) AS c FROM feats
-                   JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
-            rc AS (SELECT bucket, sum(cnt) AS c FROM feats GROUP BY 1),
-            tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
-                           (SELECT sum(c) FROM rc) AS rt),
-            ratio AS (
-                SELECT b.bucket,
-                       ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64))
-                       - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64)) AS lr
-                FROM (SELECT range AS bucket FROM range(64)) b
-                LEFT JOIN tc USING (bucket)
-                LEFT JOIN rc USING (bucket)
-                CROSS JOIN tot
-            )
-            SELECT f.doc_id, round(sum(f.cnt * ratio.lr), 6) AS log_weight
-            FROM feats f JOIN ratio USING (bucket)
-            GROUP BY 1
+        "dsir_weights": f"""
+            WITH {_DSIR_CTES_SQL}
+            SELECT doc_id, round(lw, 6) AS log_weight FROM dsir_w
         """,
         "text_stats_by_lang": f"""
             SELECT lang, count(*) AS n_docs,
