@@ -745,8 +745,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
 
     w = dsir_weights(docs, F.col("lang") == "en", n_buckets=64, bucket_fn=_surrogate_hash)
-    top = gumbel_top_k(w, k=50, temperature=0)
-    return top.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
+    # Rank by the 6-decimal-ROUNDED weight (the emitted column) with a
+    # doc_id tiebreak so boundary selection at rank 50 is stable under
+    # sub-rounding float-summation divergence between Spark and DuckDB.
+    rounded = w.withColumn("log_weight", F.round("log_weight", 6))
+    return gumbel_top_k(rounded, k=50, temperature=0).select("doc_id", "log_weight")
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,12 +988,16 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id representative — the at-scale generalization of the
     reference's in-memory dup-group accumulation (ksrf.py:106-142).
     Edges form deterministic 4-chains (d → d+1 for d%10 ∈ {0,1,2}), so
-    the oracle is closed-form arithmetic over doc_id."""
+    the oracle is closed-form arithmetic over doc_id. Pairs are
+    semi-joined back against documents so the max-id chain truncates
+    identically on both sides when row count isn't a multiple of 10."""
     from judyst_web_crawler_spark.operators.graph import duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = docs.filter(F.pmod(F.col("doc_id"), 10) <= 2).select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    pairs = (
+        docs.filter(F.pmod(F.col("doc_id"), 10) <= 2)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
     )
     return duplicate_clusters(pairs, docs.select("doc_id"))
 
@@ -1004,8 +1011,10 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from judyst_web_crawler_spark.operators.graph import duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = docs.filter(F.pmod(F.col("doc_id"), 10) <= 2).select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    pairs = (
+        docs.filter(F.pmod(F.col("doc_id"), 10) <= 2)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
     )
     return duplicate_clusters(pairs, docs.select("doc_id"), strategy="star")
 
@@ -1698,22 +1707,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < 200
         """,
         "dup_clusters": """
+            WITH m AS (SELECT MAX(doc_id) AS mx FROM documents)
             SELECT doc_id,
                    CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)
                         ELSE doc_id END AS cluster_id,
-                   CAST(CASE WHEN doc_id % 10 <= 3 THEN 4 ELSE 1 END AS BIGINT)
-                       AS cluster_size,
+                   CAST(CASE WHEN doc_id % 10 <= 3
+                             THEN LEAST(doc_id - (doc_id % 10) + 3, mx)
+                                  - (doc_id - (doc_id % 10)) + 1
+                             ELSE 1 END AS BIGINT) AS cluster_size,
                    (doc_id % 10 = 0 OR doc_id % 10 > 3) AS is_representative
-            FROM documents
+            FROM documents, m
         """,
         "dup_clusters_star": """
+            WITH m AS (SELECT MAX(doc_id) AS mx FROM documents)
             SELECT doc_id,
                    CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)
                         ELSE doc_id END AS cluster_id,
-                   CAST(CASE WHEN doc_id % 10 <= 3 THEN 4 ELSE 1 END AS BIGINT)
-                       AS cluster_size,
+                   CAST(CASE WHEN doc_id % 10 <= 3
+                             THEN LEAST(doc_id - (doc_id % 10) + 3, mx)
+                                  - (doc_id - (doc_id % 10)) + 1
+                             ELSE 1 END AS BIGINT) AS cluster_size,
                    (doc_id % 10 = 0 OR doc_id % 10 > 3) AS is_representative
-            FROM documents
+            FROM documents, m
         """,
         "lawcode_split": """
             WITH t AS (SELECT doc_id, 'Статья ' || doc_id || '. Заголовок' AS st
@@ -1901,7 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": f"""
             WITH {_DSIR_CTES_SQL}
             SELECT doc_id, round(lw, 6) AS log_weight
-            FROM dsir_w ORDER BY lw DESC, doc_id LIMIT 50
+            FROM dsir_w ORDER BY round(lw, 6) DESC, doc_id LIMIT 50
         """,
         "corpus_prep": f"""
             WITH {_GOPHER_CTES_SQL},

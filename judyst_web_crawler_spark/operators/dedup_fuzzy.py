@@ -34,12 +34,28 @@ _MERSENNE = (1 << 61) - 1
 log = logging.getLogger(__name__)
 
 
+def _checkpoint_and_release(df: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Materialize an operator's (small) result, then unpersist its
+    intermediate tables. Near-dup operators persist signature/bucket
+    tables consumed by self-joins; on a long-lived driver, repeated
+    invocations must not accumulate cached blocks until LRU-eviction
+    pressure — release them deterministically once the result (pairs /
+    ids, never the corpus) is checkpointed. Same pattern as
+    ``dsir.dsir_weights``."""
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
 def _cap_hot_buckets(
     rows: DataFrame,
     key_cols: list[str],
     id_col: str,
     cap: int,
     what: str,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` members per bucket (deterministic: lowest ids
     win) before a bucket self-join.
@@ -61,6 +77,8 @@ def _cap_hot_buckets(
     """
     w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
     marked = rows.withColumn("_rn", F.row_number().over(w)).persist()
+    if handles is not None:
+        handles.append(marked)
     dropped = marked.filter(F.col("_rn") > cap).count()
     if dropped:
         log.warning(
@@ -307,13 +325,15 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     bucket_cap: int | None = None,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join buckets → candidate pairs
     (id_a < id_b). bands*rows_per_band must equal the signature length.
 
     ``bucket_cap`` bounds per-(band, bucket) membership before the
     self-join (see ``_cap_hot_buckets``) — set it on corpora with heavy
-    boilerplate; dropped volume is logged, never silent."""
+    boilerplate; dropped volume is logged, never silent. ``handles``
+    collects any persisted intermediates for the caller to release."""
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -327,7 +347,8 @@ def minhash_lsh_candidates(
     )
     if bucket_cap is not None:
         banded = _cap_hot_buckets(
-            banded, ["band", "bucket"], id_col, bucket_cap, "minhash_lsh_candidates"
+            banded, ["band", "bucket"], id_col, bucket_cap,
+            "minhash_lsh_candidates", handles=handles,
         )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -440,14 +461,18 @@ def minhash_near_duplicates(
     # the signature table is consumed TWICE (band join + estimate filter);
     # unpersisted, Spark recomputes the whole Arrow signature pass for
     # each — the costliest stage doubled. Persist (~20% wall locally,
-    # one full corpus pass saved at scale); eviction left to LRU.
+    # one full corpus pass saved at scale); released deterministically
+    # below once the pair result is materialized.
     sigs = sigs.persist()
+    handles: list[DataFrame] = [sigs]
     pairs = minhash_lsh_candidates(
-        sigs, id_col, bands=bands, rows_per_band=k // bands, bucket_cap=bucket_cap
+        sigs, id_col, bands=bands, rows_per_band=k // bands,
+        bucket_cap=bucket_cap, handles=handles,
     )
     if margin is not None:
         pairs = estimate_filter(pairs, sigs, id_col, threshold=threshold, margin=margin)
-    return jaccard_verify(pairs, df, id_col, text_col, shingle_n, threshold)
+    out = jaccard_verify(pairs, df, id_col, text_col, shingle_n, threshold)
+    return _checkpoint_and_release(out, handles)
 
 
 _SIM_BITMASK = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
@@ -573,14 +598,17 @@ def simhash_near_duplicates(
         F.col("simhash"),
         F.posexplode(block_vals).alias("block", "block_val"),
     )
+    handles: list[DataFrame] = []
     if bucket_cap is not None:
         blocks = _cap_hot_buckets(
-            blocks, ["block", "block_val"], id_col, bucket_cap, "simhash_near_duplicates"
+            blocks, ["block", "block_val"], id_col, bucket_cap,
+            "simhash_near_duplicates", handles=handles,
         )
     else:
         # the self-join below otherwise recomputes the simhash Arrow pass
         # for each side (the capped path is already persisted)
         blocks = blocks.persist()
+        handles.append(blocks)
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -598,6 +626,7 @@ def simhash_near_duplicates(
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    out = cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    return _checkpoint_and_release(out, handles)

@@ -323,7 +323,8 @@ def embedding_near_duplicates(
     self-join for candidates, exact cosine verify. (id_a < id_b)."""
     sigs = lsh_signatures(df, dim, id_col, vec_col, n_tables, bits, seed)
     # self-join consumes the signature subplan twice — persist so the
-    # Arrow hyperplane pass runs once (same rationale as the MinHash path)
+    # Arrow hyperplane pass runs once (same rationale as the MinHash
+    # path); released below once the pair result is materialized
     sigs = sigs.persist()
     l, r = sigs.alias("l"), sigs.alias("r")
     pairs = (
@@ -341,6 +342,10 @@ def embedding_near_duplicates(
     joined = pairs.join(va, "id_a").join(vb, "id_b")
     denom = l2_norm("vec_a") * l2_norm("vec_b")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot_product("vec_a", "vec_b") / denom)
-    return joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+    out = joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()

@@ -50,12 +50,30 @@ def _split_predicates(body: str) -> list[str]:
     return out
 
 
+def _bracket_bodies(plan: str, label: str) -> list[str]:
+    """Full bodies of ``label: [...]`` with BALANCED bracket matching —
+    ``In(cell, [0,1,2])`` contains a nested ``]`` that a ``[^\\]]*`` regex
+    would truncate at, handing _split_predicates a clipped body."""
+    bodies: list[str] = []
+    for m in re.finditer(re.escape(label) + r":\s*\[", plan):
+        depth = 1
+        i = m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "[":
+                depth += 1
+            elif plan[i] == "]":
+                depth -= 1
+            i += 1
+        bodies.append(plan[m.end():i - 1])
+    return bodies
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filter predicates the parquet scan accepted for pushdown."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", plan):
-        out.extend(_split_predicates(m.group(1)))
+    for body in _bracket_bodies(plan, "PushedFilters"):
+        out.extend(_split_predicates(body))
     return out
 
 
@@ -64,8 +82,8 @@ def partition_filters(df: DataFrame) -> list[str]:
     pruning, hive layout) — bytes for pruned partitions are never read."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PartitionFilters:\s*\[([^\]]*)\]", plan):
-        out.extend(_split_predicates(m.group(1)))
+    for body in _bracket_bodies(plan, "PartitionFilters"):
+        out.extend(_split_predicates(body))
     return out
 
 

@@ -50,24 +50,35 @@ class _FakeElement:
 
 @pytest.fixture(scope="module")
 def ref():
+    # stub lxml only while the reference module executes, and restore
+    # sys.modules afterwards — leaking the stub would hand it to any
+    # later test importing lxml in the same session
+    saved = {name: sys.modules.get(name) for name in ("lxml", "lxml.html")}
     fake_html = types.ModuleType("lxml.html")
     fake_html.document_fromstring = _FakeElement
     fake_lxml = types.ModuleType("lxml")
     fake_lxml.html = fake_html
     sys.modules["lxml"] = fake_lxml
     sys.modules["lxml.html"] = fake_html
-    path = "/root/reference/web_crawler/law_codes.py"
-    with open(path, encoding="utf-8") as f:
-        src = f.read()
-    # Python ≥3.11 rejects mid-pattern (?i); on the Pythons the reference
-    # targeted it was promoted to a GLOBAL flag — hoist it to the start,
-    # which is the exact compiled behavior (same analysis as the
-    # pageNumberPattern note in functions/extraction.py).
-    src = src.replace("(?<=(?i)", "(?i)(?<=")
-    mod = types.ModuleType("ref_law_codes")
-    mod.__file__ = path
-    exec(compile(src, path, "exec"), mod.__dict__)
-    return mod
+    try:
+        path = "/root/reference/web_crawler/law_codes.py"
+        with open(path, encoding="utf-8") as f:
+            src = f.read()
+        # Python ≥3.11 rejects mid-pattern (?i); on the Pythons the reference
+        # targeted it was promoted to a GLOBAL flag — hoist it to the start,
+        # which is the exact compiled behavior (same analysis as the
+        # pageNumberPattern note in functions/extraction.py).
+        src = src.replace("(?<=(?i)", "(?i)(?<=")
+        mod = types.ModuleType("ref_law_codes")
+        mod.__file__ = path
+        exec(compile(src, path, "exec"), mod.__dict__)
+        yield mod
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
 
 
 EMPTY = '<div class="aB cD eF"></div>'
