@@ -47,27 +47,36 @@ HEADLINE = [
     "dedup_first_wins",
     "budget_topk",
     "seen_anti_join",
-    "text_quality",
-    "text_fingerprint",
-    "gopher_quality",
-    "c4_clean",
+    "text_stats",
+    "quality_filters",
     "minhash_near_dup",
+    "minhash_index_query",
     "simhash_near_dup",
     "similarity_topk",
     "ann_topk",
     "ivf_topk",
+    "ann_recall",
     "token_jaccard",
     "embedding_near_dup",
     "lawcode_htm_split",
     "dsir_weights",
-    "dup_clusters_star",
-    "minhash_sig",
-    "simhash_sig",
-    "rolling_sig",
+    "dup_clusters",
+    "fingerprint_sigs",
     "dsir_select",
     "recrawl_priority",
+    "crawl_delay_budget",
     "corpus_prep",
+    "etl_update",
 ]
+# round-2 → round-3 name mapping (queries consolidated so every oracled
+# query fits the driver's 50-entry sweep window; see __spark_entry__.py):
+#   text_quality + text_fingerprint (+token_count, lang_id) → text_stats
+#   gopher_quality + c4_clean                               → quality_filters
+#   minhash_sig + simhash_sig + rolling_sig                 → fingerprint_sigs
+#   dup_clusters + dup_clusters_star                        → dup_clusters
+#   embedding_norms                                         → similarity_topk (l2 col)
+#   top_cited                                               → citation_degrees (top_rank col)
+#   canonicalize_key + pdf_number_extract + text_location   → canonical_fields
 
 
 def _sf_of(sf_dir: str) -> float:

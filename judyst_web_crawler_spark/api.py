@@ -325,3 +325,76 @@ def init(
     crawler = WebCrawler(sources)
     crawler.prepare_sources()
     return crawler
+
+
+# ------------------------------------------------------------------ ETL
+# One-shot batch pipelines matching the reference's tools.py surface.
+
+
+def fill_data_source_from_file(
+    spark: SparkSession,
+    path: str,
+    target: CatalogSource,
+    data_type: DataType = DataType.DOCUMENT_HEADER,
+) -> int:
+    """Jsonlines file → catalog upsert, in one MERGE (reference
+    ``fill_data_source_from_file``, tools.py:20-43, which loops
+    ``put_data`` per record). Headers carrying a ``'not unique'`` marker
+    are dropped (P8, ksrf.py:194); link records get ``citations_number``
+    recomputed from the positions list (A2, DatabaseWrapper.py:33-37 —
+    both already inside the jsonio readers). Returns rows ingested."""
+    from judyst_web_crawler_spark.sources import jsonio
+
+    if data_type == DataType.DOCUMENT_HEADER:
+        df = jsonio.filter_unique_headers(
+            jsonio.read_headers_jsonlines(spark, path)
+        ).drop("not_unique")
+    elif data_type == DataType.LINK:
+        df = jsonio.read_links_jsonlines(spark, path)
+    else:
+        raise ValueError("Not supported data type")
+    # materialize once: the merge and the returned count must not re-read
+    # (and possibly re-parse) the input file twice
+    df = df.localCheckpoint(eager=True)
+    target.put_data_df(df, data_type)
+    return df.count()
+
+
+def update_database_from_source(
+    database: CatalogSource,
+    source: DataSource,
+    fetch_fn=None,
+) -> dict:
+    """One-shot "headers → store, then backfill texts" ETL (reference
+    ``updatae_database_from_source`` [sic], tools.py:50-68).
+
+    The reference upserts every header, then loops uid-by-uid calling the
+    source's get-or-fetch ``get_data(uid, DOCUMENT_TEXT)`` (ksrf.py:
+    258-274) and writing each text back. Set-oriented here: ONE header
+    merge, ONE anti-join for ids whose text is missing from the database,
+    ONE text merge — the only shape that survives 10^10 ids. ``fetch_fn
+    (missing_ids_df) -> DataFrame(doc_id, text)`` plays the download leg
+    for ids the source's own text table lacks (optional — without it the
+    backfill uses source texts only, no network stand-in).
+
+    Returns ``{"headers": n, "texts_backfilled": n}``."""
+    headers = source.get_all_data(DataType.DOCUMENT_HEADER)
+    n_headers = headers.count()
+    database.put_data_df(headers, DataType.DOCUMENT_HEADER)
+
+    want = headers.select("doc_id")
+    if database.catalog.exists(TEXTS_TABLE):
+        have = database.catalog.read(TEXTS_TABLE).select("doc_id")
+        missing = want.join(have, "doc_id", "left_anti")
+    else:
+        missing = want
+    src_texts = source.get_all_data(DataType.DOCUMENT_TEXT).select("doc_id", "text")
+    texts = src_texts.join(missing, "doc_id", "left_semi")
+    if fetch_fn is not None:
+        unfetched = missing.join(src_texts.select("doc_id"), "doc_id", "left_anti")
+        texts = texts.unionByName(fetch_fn(unfetched).select("doc_id", "text"))
+    texts = texts.localCheckpoint(eager=True)
+    n_texts = texts.count()
+    if n_texts:
+        database.put_data_df(texts, DataType.DOCUMENT_TEXT)
+    return {"headers": n_headers, "texts_backfilled": n_texts}

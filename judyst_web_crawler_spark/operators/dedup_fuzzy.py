@@ -20,6 +20,7 @@ no wall-clock, no RNG state.
 from __future__ import annotations
 
 import logging
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -334,17 +335,7 @@ def minhash_lsh_candidates(
     self-join (see ``_cap_hot_buckets``) — set it on corpora with heavy
     boilerplate; dropped volume is logged, never silent. ``handles``
     collects any persisted intermediates for the caller to release."""
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("string")
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = band_explode(signatures, id_col, bands, rows_per_band)
     if bucket_cap is not None:
         banded = _cap_hot_buckets(
             banded, ["band", "bucket"], id_col, bucket_cap,
@@ -363,6 +354,28 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def band_explode(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """One (id, band, bucket) row per band: bucket = xxhash64 of the
+    band's signature slice. Shared by the batch self-join path and the
+    persisted incremental index so banding can never drift between them."""
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
 
 
 def estimate_filter(
@@ -472,6 +485,113 @@ def minhash_near_duplicates(
     if margin is not None:
         pairs = estimate_filter(pairs, sigs, id_col, threshold=threshold, margin=margin)
     out = jaccard_verify(pairs, df, id_col, text_col, shingle_n, threshold)
+    return _checkpoint_and_release(out, handles)
+
+
+# ------------------------------------------- incremental band-bucket index
+#
+# The batch path above re-fingerprints and self-joins the WHOLE corpus per
+# invocation — the right correctness baseline, the wrong shape for a crawl
+# that adds a wave of documents to a 10^10-doc corpus. The index persists
+# the banded bucket table once (same pattern as similarity.ivf_index_write):
+# wave-N documents are fingerprinted once and band-JOINED against committed
+# buckets, so per-wave cost is O(new × matching buckets), never a
+# full-corpus re-scan. Layout under ``path``:
+#   bands/  (band, bucket, id)   — parquet, partitioned by band
+#   sigs/   (id, signature)      — for the MinHash-estimate prune
+# Exact-verify texts come from a keyed join against the documents table
+# (candidate ids only — column-pruned, bucket-prunable scan, not a corpus
+# pass through Python).
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Build (or ``mode='append'``: extend) the persisted MinHash index
+    from a corpus slice — one Arrow fingerprint pass, two writes."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed).persist()
+    try:
+        band_explode(sigs, id_col, bands, k // bands).write.mode(mode).partitionBy(
+            "band"
+        ).parquet(os.path.join(path, "bands"))
+        sigs.write.mode(mode).parquet(os.path.join(path, "sigs"))
+    finally:
+        sigs.unpersist()
+
+
+def minhash_index_append(df: DataFrame, path: str, **kw) -> None:
+    """Commit a new wave's documents to an existing index."""
+    minhash_index_write(df, path, mode="append", **kw)
+
+
+def minhash_query_index(
+    new_df: DataFrame,
+    path: str,
+    corpus_texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+    threshold: float = 0.7,
+    margin: float | None = 0.15,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of NEW documents vs the committed index (plus
+    new-vs-new within the batch) — identical semantics to running
+    ``minhash_near_duplicates`` over the whole corpus and keeping only
+    pairs that touch a new id (pair-parity pinned in tests), at
+    incremental cost: only the new docs go through the Arrow fingerprint
+    pass; the corpus side is a parquet scan of the index.
+
+    ``corpus_texts`` supplies (id, text) for the exact Jaccard verify —
+    pass the documents table; the join is candidate-keyed and
+    column-pruned. ``materialize=False`` returns the lazy plan (for plan
+    assertions); the default checkpoints and releases intermediates."""
+    spark = new_df.sparkSession
+    new_sigs = minhash_signatures(
+        new_df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed
+    ).persist()
+    handles = [new_sigs]
+    new_banded = band_explode(new_sigs, id_col, bands, k // bands)
+    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+
+    n, o = new_banded.alias("n"), idx_bands.alias("o")
+    cross = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    within = minhash_lsh_candidates(new_sigs, id_col, bands=bands, rows_per_band=k // bands)
+    pairs = cross.unionByName(within).distinct()
+    if margin is not None:
+        # estimate prune: new ids use the freshly computed signatures
+        # (re-crawled ids may exist in both — new wins), index ids the
+        # stored ones — nothing is re-fingerprinted
+        stored = idx_sigs.join(new_sigs.select(id_col), id_col, "left_anti")
+        all_sigs = new_sigs.unionByName(stored)
+        pairs = estimate_filter(pairs, all_sigs, id_col, threshold=threshold, margin=margin)
+    out = jaccard_verify(pairs, corpus_texts, id_col, text_col, shingle_n, threshold)
+    if not materialize:
+        return out
     return _checkpoint_and_release(out, handles)
 
 

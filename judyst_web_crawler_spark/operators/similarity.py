@@ -117,6 +117,86 @@ def lsh_signatures(
     )
 
 
+def arith_hyperplanes(dim: int, n_tables: int, bits: int) -> list[list[list[float]]]:
+    """(n_tables, bits, dim) deterministic hyperplanes from PURE INTEGER
+    arithmetic — small exact rationals k/1001 in [-1, 1] that a SQL
+    oracle (DuckDB) can re-derive or embed verbatim, unlike the
+    Generator-based ``_hyperplanes``. Knuth multiplicative hash over the
+    flat index, folded to [-1001, 1001]."""
+    planes = []
+    for t in range(n_tables):
+        table = []
+        for j in range(bits):
+            row = []
+            for d in range(dim):
+                h = (((t * bits + j) * dim + d) * 2654435761 + 40503) % (1 << 32)
+                row.append(((h % 2003) - 1001) / 1001.0)
+            table.append(row)
+        planes.append(table)
+    return planes
+
+
+def lsh_bucket_col(vec_col: Column | str, table_planes: list[list[float]]) -> Column:
+    """JVM-side sign-LSH bucket id for ONE table: bit j set iff
+    dot(vec, plane_j) > 0, planes folded in as literal arrays (codegen,
+    no Python). The left-to-right ``aggregate`` fold makes the double
+    summation order identical to a SQL oracle's sequential dot product,
+    so the sign — and therefore the bucket — matches exactly."""
+    out = None
+    for j, plane in enumerate(table_planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_product(_vec(vec_col), p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("long")
+
+
+def query_buckets(query: list[float], planes: list[list[list[float]]]) -> list[int]:
+    """Driver-side bucket of the query vector per table — same sign rule
+    as ``lsh_bucket_col``, plain Python (the query is a constant)."""
+    probes = []
+    for table in planes:
+        b = 0
+        for j, plane in enumerate(table):
+            acc = 0.0
+            for q, p in zip(query, plane):
+                acc += float(q) * float(p)
+            if acc > 0:
+                b |= 1 << j
+        probes.append(b)
+    return probes
+
+
+def ann_topk_jvm(
+    df: DataFrame,
+    query: list[float],
+    planes: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with caller-supplied LITERAL hyperplanes, fully JVM-side:
+    per-table bucket columns → candidate filter (bucket matches the
+    query's bucket in ≥1 table) → exact cosine top-k on candidates only.
+
+    This is the oracle-checkable twin of ``ann_topk`` (whose float32
+    numpy path and Generator planes a SQL engine cannot reproduce
+    bit-exactly): with ``arith_hyperplanes`` both sides compute identical
+    doubles, so recall@k against ``brute_force_topk`` is a deterministic,
+    SQL-verifiable scalar. No shuffle — candidates come from a filter,
+    the top-k is TakeOrderedAndProject."""
+    probes = query_buckets(query, planes)
+    sig = df.select(
+        id_col, vec_col,
+        *[lsh_bucket_col(vec_col, tp).alias(f"_b{t}") for t, tp in enumerate(planes)],
+    )
+    match = None
+    for t, qb in enumerate(probes):
+        c = F.col(f"_b{t}") == qb
+        match = c if match is None else (match | c)
+    cands = sig.filter(match).select(id_col, vec_col)
+    return brute_force_topk(cands, query, k, id_col, vec_col)
+
+
 def ann_topk(
     df: DataFrame,
     query: list[float],
