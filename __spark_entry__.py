@@ -567,6 +567,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.token_count("text").cast("long").alias("n_tokens"),
         T.lang_id("text").alias("lang_guess"),
+        T.lang_id_trigram("text").alias("lang_trigram"),
         T.quality_score("text").alias("quality"),
         T.normalized_fingerprint("text").alias("fingerprint"),
     )
@@ -862,11 +863,22 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_NEAR_DUP_CAP = 4096  # all-pairs baseline is O(cap²) BY DESIGN
+
+
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, exact n² verify (the correctness
-    baseline for the LSH-bucketed path; oracle-checked)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    """Embedding-cosine near-dup, exact all-pairs verify — the labeled
+    correctness BASELINE for the LSH-bucketed path, never a production
+    query. The all-pairs join is O(n²) by construction, so the input is
+    hard-capped at ``EXACT_NEAR_DUP_CAP`` ids (deterministic
+    ``vec_id < cap`` predicate, mirrored in the oracle): at any corpus
+    scale this query touches ≤ cap² pairs, and anyone needing near-dups
+    past the cap is pointed at ``embedding_near_dup`` (bucketed LSH +
+    exact verify on candidates — the scale path this baselines)."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
@@ -1489,6 +1501,27 @@ def _vec_sql(expr_a: str, vec: list[float]) -> str:
     return f"list_dot_product({expr_a}, [{lits}]::DOUBLE[])"
 
 
+from judyst_web_crawler_spark.functions.textstats import (  # noqa: E402
+    TRIGRAM_LANG_ORDER as _TRI_ORDER,
+    TRIGRAM_MIN_HITS as _TRI_MIN_HITS,
+    TRIGRAM_PROFILES as _TRI_PROFILES,
+)
+
+
+def _trigram_scores_sql() -> str:
+    """Per-language trigram presence scores for the text_stats oracle —
+    the SAME profile constants the Spark side (textstats.lang_id_trigram)
+    folds into codegen, so the two argmaxes can never drift."""
+    cols = []
+    for lang in _TRI_ORDER:
+        hits = "\n                         + ".join(
+            f"CASE WHEN position('{tg}' IN lower(text)) > 0 THEN 1 ELSE 0 END"
+            for tg in _TRI_PROFILES[lang]
+        )
+        cols.append(f"({hits}) AS s_{lang}")
+    return ",\n                       ".join(cols)
+
+
 def _ann_bucket_sql(table_planes: list[list[float]]) -> str:
     """The DuckDB mirror of similarity.lsh_bucket_col for one table: bit
     j set iff dot(embedding, plane_j) > 0, planes embedded as the SAME
@@ -1946,14 +1979,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_stats": f"""
+            WITH tri AS (
+                SELECT doc_id, text,
+                       {_trigram_scores_sql()}
+                FROM documents
+            ),
+            trig AS (
+                SELECT *, greatest({", ".join("s_" + L for L in _TRI_ORDER)}) AS s_mx
+                FROM tri
+            )
             SELECT doc_id,
                    {tokens} AS n_tokens,
                    CASE WHEN {cyr} >= 0.25 THEN 'ru'
                         WHEN {lat} >= 0.25 THEN 'en'
                         ELSE 'und' END AS lang_guess,
+                   CASE WHEN s_mx >= {_TRI_MIN_HITS}
+                        THEN CASE {" ".join(f"WHEN s_{L} = s_mx THEN '{L}'" for L in _TRI_ORDER)} END
+                        ELSE CASE WHEN {cyr} >= 0.25 THEN 'ru'
+                                  WHEN {lat} >= 0.25 THEN 'en'
+                                  ELSE 'und' END
+                        END AS lang_trigram,
                    {quality} AS quality,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-            FROM documents
+            FROM trig
         """,
         "quality_filters": f"""
             WITH {_GOPHER_CTES_SQL},
@@ -2111,7 +2159,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS jaccard
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         """,
-        "embedding_near_dup_exact": """
+        "embedding_near_dup_exact": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(
                      CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -2122,7 +2170,8 @@ def oracle_sql() -> dict[str, str]:
                                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END,
                      6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(
+            WHERE a.vec_id < {EXACT_NEAR_DUP_CAP} AND b.vec_id < {EXACT_NEAR_DUP_CAP}
+              AND round(
                      CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
                           THEN 0.0

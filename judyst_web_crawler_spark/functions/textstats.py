@@ -68,6 +68,60 @@ def lang_id(text: Column | str) -> Column:
     )
 
 
+# Characteristic trigrams per language — fixed public linguistic
+# profiles (high-frequency character trigrams of each language's
+# running text; spaces significant). Detection = count how many DISTINCT
+# profile trigrams occur in the lowercased text, argmax with a fixed
+# tie-break order and a minimum-evidence floor. Everything is
+# presence/absence over literal strings, so a SQL oracle computes the
+# identical scores (__spark_entry__.py embeds these same constants).
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "and", "nd ", "ing", "ng ", " of",
+           "of ", "ion", "tio", "ent", " in", "in ", "er ", "is ",
+           " to", "to ", " a ", "ed "],
+    "ru": [" пр", "ств", "ого", "ени", " по", " не", "ние", "его",
+           " на", "ост", "про", "ать", " со", " в ", " и ", "ере",
+           "при", "ть ", "ой ", "ия "],
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "che", "en ",
+           "und", " un", "gen", " ge", "ver", " de", "ung", "ine",
+           " di", "ber", "cht", "ten"],
+    "fr": ["les", " le", " de", "ent", "une", " un", "que", " qu",
+           "eur", "ait", "est", " et", "es ", "ons", " pa", "our",
+           "ais", "res", " la", "ux "],
+    "es": ["la ", " la", "os ", "ció", " es", "ue ", "que", " qu",
+           "ado", "par", " el", "el ", " en", "nte", " co", "ión",
+           "de ", " de", "as ", "una"],
+}
+TRIGRAM_LANG_ORDER = list(TRIGRAM_PROFILES)  # tie-break: first wins
+TRIGRAM_MIN_HITS = 3  # below this evidence, fall back to script heuristic
+
+
+def trigram_score(text: Column | str, lang: str) -> Column:
+    """Number of ``lang``'s profile trigrams present in the text
+    (presence, not occurrences — identical in any SQL engine). A
+    higher-order ``filter`` over the literal trigram array, NOT a sum of
+    20 ``contains`` branches: the flat-sum form blows the codegen
+    expression tree up ~20× per language and compile time dominates."""
+    t = F.lower(_c(text))
+    tgs = F.array(*[F.lit(tg) for tg in TRIGRAM_PROFILES[lang]])
+    return F.size(F.filter(tgs, lambda tg: F.contains(t, tg)))
+
+
+def lang_id_trigram(text: Column | str) -> Column:
+    """Trigram-profile language ID (en/ru/de/fr/es) with the script
+    heuristic (:func:`lang_id`) as the low-evidence fallback — pure
+    Column exprs (whole-stage codegen), the production upgrade over the
+    script-only heuristic VERDICT r2 flagged (which reads every latin
+    text as 'en'). Deterministic: fixed profiles, fixed evidence floor,
+    argmax tie-break = first language in ``TRIGRAM_LANG_ORDER``
+    (``array_position`` returns the FIRST index of the max)."""
+    scores = F.array(*[trigram_score(text, L) for L in TRIGRAM_LANG_ORDER])
+    langs = F.array(*[F.lit(L) for L in TRIGRAM_LANG_ORDER])
+    mx = F.array_max(scores)
+    picked = F.element_at(langs, F.array_position(scores, mx).cast("int"))
+    return F.when(mx >= TRIGRAM_MIN_HITS, picked).otherwise(lang_id(text))
+
+
 def stopword_ratio(text: Column | str) -> Column:
     t = F.lower(_c(text))
     toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")

@@ -121,3 +121,59 @@ def test_rolling_fingerprint_col_order_sensitive(spark):
     for x in h:
         acc = (acc * T.ROLL_JVM_BASE + x + 1) % T.ROLL_JVM_MOD
     assert acc == fp[1]
+
+
+def test_trigram_profiles_are_valid():
+    from judyst_web_crawler_spark.functions import textstats as T
+
+    for lang, tgs in T.TRIGRAM_PROFILES.items():
+        assert all(len(tg) == 3 for tg in tgs), lang          # trigrams only
+        assert len(set(tgs)) == len(tgs), lang                # no double votes
+    assert T.TRIGRAM_LANG_ORDER == list(T.TRIGRAM_PROFILES)
+
+
+def test_lang_id_trigram_identifies_languages(spark):
+    from judyst_web_crawler_spark.functions import textstats as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The court found that the application of the law to the "
+                "facts is a question for the jury and the judge in the case."),
+            (2, "Суд установил что жалоба гражданина подлежит рассмотрению "
+                "в установленном порядке при наличии оснований по делу."),
+            (3, "Das Gericht hat entschieden dass die Beschwerde des "
+                "Antragstellers nach den geltenden Vorschriften zu prüfen ist."),
+            (4, "Le tribunal a décidé que les recours des parties seraient "
+                "examinés selon une procédure établie pour un tel cas."),
+            (5, "El tribunal decidió que la queja de una parte sería "
+                "examinada según el procedimiento establecido para el caso."),
+            (6, "123 456 789 ---"),      # no evidence, no script → und
+            (7, "кот"),                  # no trigram evidence, cyrillic → ru
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", T.lang_id_trigram("text").alias("lang")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "ru", 3: "de", 4: "fr", 5: "es",
+                   6: "und", 7: "ru"}
+
+
+def test_lang_id_trigram_beats_script_heuristic_on_latin_langs(spark):
+    """The upgrade the script heuristic can't make: de/fr/es are all
+    'en' to a latin-script ratio test."""
+    from judyst_web_crawler_spark.functions import textstats as T
+
+    docs = spark.createDataFrame(
+        [(1, "Das Gericht hat entschieden dass die Beschwerde des "
+             "Antragstellers nach den geltenden Vorschriften zu prüfen ist.")],
+        "doc_id long, text string",
+    )
+    row = docs.select(
+        T.lang_id("text").alias("script"),
+        T.lang_id_trigram("text").alias("tri"),
+    ).first()
+    assert row["script"] == "en" and row["tri"] == "de"
