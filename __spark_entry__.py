@@ -1032,17 +1032,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    planes, probes = _ANN_PLANES, _ANN_PROBES
-    sig = emb.select(
-        "vec_id",
-        "embedding",
-        *[SIM.lsh_bucket_col("embedding", tp).alias(f"b{t}") for t, tp in enumerate(planes)],
-    )
-    match = None
-    for t, qb in enumerate(probes):
-        c = F.col(f"b{t}") == qb
-        match = c if match is None else (match | c)
-    cands = sig.filter(match).select("vec_id", "embedding")
+    # the library's own candidate rule (also what ann_topk_jvm ranks) —
+    # NOT re-implemented here, so probe/bucket changes can't silently
+    # diverge from the parity this query exists to pin
+    cands = SIM.ann_candidates(emb, QUERY_VEC, _ANN_PLANES)
     approx = SIM.brute_force_topk(cands, QUERY_VEC, k=10)
     exact = SIM.brute_force_topk(emb, QUERY_VEC, k=10)
     recall = (

@@ -35,7 +35,7 @@ from __future__ import annotations
 import json
 from enum import Enum
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
@@ -349,10 +349,26 @@ def fill_data_source_from_file(
         df = jsonio.filter_unique_headers(
             jsonio.read_headers_jsonlines(spark, path)
         ).drop("not_unique")
+        keys = ["doc_id"]
     elif data_type == DataType.LINK:
         df = jsonio.read_links_jsonlines(spark, path)
+        keys = ["doc_id_from", "doc_id_to"]
     else:
         raise ValueError("Not supported data type")
+    # merge_upsert requires key-unique updates (catalog.py contract); a
+    # jsonlines file may carry several records per key, and the reference
+    # loops put_data per record so the LAST record wins (tools.py:20-43).
+    # monotonically_increasing_id over a single-file text read increases
+    # with byte offset (partition index in the high bits, partitions split
+    # by offset), so "max _seq" = "last line in the file" — the same
+    # last-wins rule, without handing duplicate keys to the merge.
+    w = Window.partitionBy(*keys).orderBy(F.col("_seq").desc())
+    df = (
+        df.withColumn("_seq", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )
     # materialize once: the merge and the returned count must not re-read
     # (and possibly re-parse) the input file twice
     df = df.localCheckpoint(eager=True)
@@ -378,7 +394,10 @@ def update_database_from_source(
     backfill uses source texts only, no network stand-in).
 
     Returns ``{"headers": n, "texts_backfilled": n}``."""
-    headers = source.get_all_data(DataType.DOCUMENT_HEADER)
+    # consumed three times (count, header merge, missing-ids anti-join) —
+    # materialize once, same one-materialization rule as
+    # fill_data_source_from_file; headers are skinny, never the corpus
+    headers = source.get_all_data(DataType.DOCUMENT_HEADER).localCheckpoint(eager=True)
     n_headers = headers.count()
     database.put_data_df(headers, DataType.DOCUMENT_HEADER)
 
@@ -388,7 +407,17 @@ def update_database_from_source(
         missing = want.join(have, "doc_id", "left_anti")
     else:
         missing = want
-    src_texts = source.get_all_data(DataType.DOCUMENT_TEXT).select("doc_id", "text")
+    # a headers-only source (the canonical flow: headers from a jsonl
+    # fill, texts to arrive via fetch_fn) has no texts table at all —
+    # the reference handles this by fetching per-uid (tools.py:58-66);
+    # here the source leg degrades to empty and fetch_fn covers everything
+    if isinstance(source, CatalogSource) and not source.catalog.exists(TEXTS_TABLE):
+        src_texts = want.limit(0).withColumn("text", F.lit(None).cast("string"))
+    else:
+        src_texts = source.get_all_data(DataType.DOCUMENT_TEXT).select("doc_id", "text")
+    # src_texts is scanned twice (left_semi below, left_anti in the fetch
+    # leg) — deliberately NOT checkpointed: the anti side reads only the
+    # column-pruned doc_id, far cheaper than materializing the text column
     texts = src_texts.join(missing, "doc_id", "left_semi")
     if fetch_fn is not None:
         unfetched = missing.join(src_texts.select("doc_id"), "doc_id", "left_anti")

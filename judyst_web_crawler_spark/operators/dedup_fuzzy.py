@@ -28,26 +28,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from judyst_web_crawler_spark.cache import checkpoint_and_release
 from judyst_web_crawler_spark.functions.textstats import normalized_fingerprint
 
 _MERSENNE = (1 << 61) - 1
 
 log = logging.getLogger(__name__)
 
-
-def _checkpoint_and_release(df: DataFrame, handles: list[DataFrame]) -> DataFrame:
-    """Materialize an operator's (small) result, then unpersist its
-    intermediate tables. Near-dup operators persist signature/bucket
-    tables consumed by self-joins; on a long-lived driver, repeated
-    invocations must not accumulate cached blocks until LRU-eviction
-    pressure — release them deterministically once the result (pairs /
-    ids, never the corpus) is checkpointed. Same pattern as
-    ``dsir.dsir_weights``."""
-    try:
-        return df.localCheckpoint(eager=True)
-    finally:
-        for h in handles:
-            h.unpersist()
+# release protocol shared with operators.similarity — see cache.py
+_checkpoint_and_release = checkpoint_and_release
 
 
 def _cap_hot_buckets(
@@ -57,6 +46,7 @@ def _cap_hot_buckets(
     cap: int,
     what: str,
     handles: list[DataFrame] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Keep at most ``cap`` members per bucket (deterministic: lowest ids
     win) before a bucket self-join.
@@ -77,15 +67,21 @@ def _cap_hot_buckets(
     LRU (the banded table is id+keys only, far smaller than the corpus).
     """
     w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
-    marked = rows.withColumn("_rn", F.row_number().over(w)).persist()
-    if handles is not None:
-        handles.append(marked)
-    dropped = marked.filter(F.col("_rn") > cap).count()
-    if dropped:
-        log.warning(
-            "%s: hot-bucket cap=%d dropped %d bucket memberships "
-            "(pairs beyond the cap are not candidates)", what, cap, dropped
-        )
+    marked = rows.withColumn("_rn", F.row_number().over(w))
+    if eager:
+        # the dropped-count action requires materialization; lazy callers
+        # (materialize=False plan composition) skip the persist AND the
+        # count so merely building the plan stays free — the cap filter
+        # itself is identical either way
+        marked = marked.persist()
+        if handles is not None:
+            handles.append(marked)
+        dropped = marked.filter(F.col("_rn") > cap).count()
+        if dropped:
+            log.warning(
+                "%s: hot-bucket cap=%d dropped %d bucket memberships "
+                "(pairs beyond the cap are not candidates)", what, cap, dropped
+            )
     return marked.filter(F.col("_rn") <= cap).drop("_rn")
 
 
@@ -327,6 +323,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     bucket_cap: int | None = None,
     handles: list[DataFrame] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Band the signatures and self-join buckets → candidate pairs
     (id_a < id_b). bands*rows_per_band must equal the signature length.
@@ -334,12 +331,13 @@ def minhash_lsh_candidates(
     ``bucket_cap`` bounds per-(band, bucket) membership before the
     self-join (see ``_cap_hot_buckets``) — set it on corpora with heavy
     boilerplate; dropped volume is logged, never silent. ``handles``
-    collects any persisted intermediates for the caller to release."""
+    collects any persisted intermediates for the caller to release;
+    ``eager=False`` keeps the cap lazy (no persist, no dropped-count log)."""
     banded = band_explode(signatures, id_col, bands, rows_per_band)
     if bucket_cap is not None:
         banded = _cap_hot_buckets(
             banded, ["band", "bucket"], id_col, bucket_cap,
-            "minhash_lsh_candidates", handles=handles,
+            "minhash_lsh_candidates", handles=handles, eager=eager,
         )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -461,6 +459,7 @@ def minhash_near_duplicates(
     seed: int = 42,
     margin: float | None = 0.15,
     bucket_cap: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: signatures → band candidates →
     estimate prune → exact Jaccard verify.
@@ -469,22 +468,31 @@ def minhash_near_duplicates(
     candidate goes to the exact verify — no estimator recall loss, at
     the cost of exact-verifying ~n² candidates on boilerplate corpora).
     ``bucket_cap`` bounds per-bucket membership; dropped volume is
-    logged by ``_cap_hot_buckets``."""
+    logged by ``_cap_hot_buckets``. ``materialize=False`` returns the
+    LAZY plan with nothing persisted or checkpointed — full lineage
+    (recompute-safe on executor loss) and composable/inspectable, at the
+    cost of re-running the signature pass per consuming action; the
+    default materializes and deterministically releases intermediates
+    (see cache.checkpoint_and_release for the trade-off)."""
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed)
-    # the signature table is consumed TWICE (band join + estimate filter);
-    # unpersisted, Spark recomputes the whole Arrow signature pass for
-    # each — the costliest stage doubled. Persist (~20% wall locally,
-    # one full corpus pass saved at scale); released deterministically
-    # below once the pair result is materialized.
-    sigs = sigs.persist()
-    handles: list[DataFrame] = [sigs]
+    handles: list[DataFrame] = []
+    if materialize:
+        # the signature table is consumed TWICE (band join + estimate
+        # filter); unpersisted, Spark recomputes the whole Arrow signature
+        # pass for each — the costliest stage doubled. Persist (~20% wall
+        # locally, one full corpus pass saved at scale); released
+        # deterministically below once the pair result is materialized.
+        sigs = sigs.persist()
+        handles.append(sigs)
     pairs = minhash_lsh_candidates(
         sigs, id_col, bands=bands, rows_per_band=k // bands,
-        bucket_cap=bucket_cap, handles=handles,
+        bucket_cap=bucket_cap, handles=handles, eager=materialize,
     )
     if margin is not None:
         pairs = estimate_filter(pairs, sigs, id_col, threshold=threshold, margin=margin)
     out = jaccard_verify(pairs, df, id_col, text_col, shingle_n, threshold)
+    if not materialize:
+        return out
     return _checkpoint_and_release(out, handles)
 
 
@@ -497,11 +505,35 @@ def minhash_near_duplicates(
 # wave-N documents are fingerprinted once and band-JOINED against committed
 # buckets, so per-wave cost is O(new × matching buckets), never a
 # full-corpus re-scan. Layout under ``path``:
-#   bands/  (band, bucket, id)   — parquet, partitioned by band
-#   sigs/   (id, signature)      — for the MinHash-estimate prune
+#   bands/  (band, bucket, id)        — parquet, partitioned by band
+#   sigs/   (id, signature, gen)      — for the MinHash-estimate prune
 # Exact-verify texts come from a keyed join against the documents table
 # (candidate ids only — column-pruned, bucket-prunable scan, not a corpus
 # pass through Python).
+#
+# Re-crawled ids (the recrawl generations path re-fetches stale urls, so
+# an appended wave MAY contain ids already committed): each commit stamps
+# its sigs with a monotonically increasing ``gen`` and the query keeps the
+# LATEST signature per candidate id (last-wins, the crawl's own merge
+# rule) — without this, duplicate sig rows fan every pair touching a
+# re-crawled id into duplicate output rows through the estimate join.
+# Stale rows in bands/ are left in place deliberately: a stale-bucket
+# collision only ADDS a candidate pair, and every candidate is gated by
+# the exact Jaccard verify against CURRENT text, so stale bands cost
+# wasted verify work (bounded by the re-crawl rate), never wrong output.
+
+
+def _next_index_gen(spark, path: str) -> int:
+    """Next commit sequence number for ``path``'s sigs table (0 for a
+    fresh index; indexes written before gen stamping count as gen 0)."""
+    try:
+        prev = spark.read.parquet(os.path.join(path, "sigs"))
+    except Exception:  # no sigs yet (fresh path) — AnalysisException
+        return 0
+    if "gen" not in prev.columns:
+        return 1
+    top = prev.agg(F.max("gen")).first()[0]
+    return (top if top is not None else 0) + 1
 
 
 def minhash_index_write(
@@ -516,13 +548,19 @@ def minhash_index_write(
     mode: str = "overwrite",
 ) -> None:
     """Build (or ``mode='append'``: extend) the persisted MinHash index
-    from a corpus slice — one Arrow fingerprint pass, two writes."""
+    from a corpus slice — one Arrow fingerprint pass, two writes. Each
+    commit is stamped with a ``gen`` sequence number so a later append of
+    a RE-CRAWLED id supersedes (last-wins) its stored signature at query
+    time instead of duplicating it."""
+    gen = _next_index_gen(df.sparkSession, path) if mode == "append" else 0
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed).persist()
     try:
         band_explode(sigs, id_col, bands, k // bands).write.mode(mode).partitionBy(
             "band"
         ).parquet(os.path.join(path, "bands"))
-        sigs.write.mode(mode).parquet(os.path.join(path, "sigs"))
+        sigs.withColumn("gen", F.lit(gen)).write.mode(mode).parquet(
+            os.path.join(path, "sigs")
+        )
     finally:
         sigs.unpersist()
 
@@ -556,12 +594,18 @@ def minhash_query_index(
     ``corpus_texts`` supplies (id, text) for the exact Jaccard verify —
     pass the documents table; the join is candidate-keyed and
     column-pruned. ``materialize=False`` returns the lazy plan (for plan
-    assertions); the default checkpoints and releases intermediates."""
+    assertions / composition) and persists NOTHING — the new-sig subplan
+    is recomputed per consuming action instead of leaking a cached table
+    the caller has no handle to; the default persists, checkpoints the
+    pair result and releases intermediates deterministically."""
     spark = new_df.sparkSession
     new_sigs = minhash_signatures(
         new_df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed
-    ).persist()
-    handles = [new_sigs]
+    )
+    handles: list[DataFrame] = []
+    if materialize:
+        new_sigs = new_sigs.persist()
+        handles.append(new_sigs)
     new_banded = band_explode(new_sigs, id_col, bands, k // bands)
     idx_bands = spark.read.parquet(os.path.join(path, "bands"))
     idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
@@ -585,8 +629,27 @@ def minhash_query_index(
     if margin is not None:
         # estimate prune: new ids use the freshly computed signatures
         # (re-crawled ids may exist in both — new wins), index ids the
-        # stored ones — nothing is re-fingerprinted
-        stored = idx_sigs.join(new_sigs.select(id_col), id_col, "left_anti")
+        # stored ones — nothing is re-fingerprinted. Stored sigs are
+        # (1) pruned to candidate ids FIRST, so the last-wins window
+        # shuffles only candidate-sized data, never the corpus-scale
+        # index, then (2) deduped last-wins by commit gen: a re-crawled
+        # id has one sig row per commit, and without the dedupe the
+        # estimate join fans every pair touching it into duplicates.
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        if "gen" not in idx_sigs.columns:  # pre-gen index layout
+            idx_sigs = idx_sigs.withColumn("gen", F.lit(0))
+        w = Window.partitionBy(id_col).orderBy(F.col("gen").desc())
+        stored = (
+            idx_sigs.join(cand_ids, id_col, "left_semi")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "gen")
+        )
+        stored = stored.join(new_sigs.select(id_col), id_col, "left_anti")
         all_sigs = new_sigs.unionByName(stored)
         pairs = estimate_filter(pairs, all_sigs, id_col, threshold=threshold, margin=margin)
     out = jaccard_verify(pairs, corpus_texts, id_col, text_col, shingle_n, threshold)
@@ -695,6 +758,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     shingle_n: int = 4,
     bucket_cap: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Block-technique retrieval: any pair within Hamming distance k must
     agree on ≥1 of k+1 disjoint blocks (pigeonhole) → join per block,
@@ -702,7 +766,9 @@ def simhash_near_duplicates(
 
     ``bucket_cap`` bounds per-(block, block_val) membership before the
     self-join (hot-bucket guard, same rationale as the MinHash path);
-    dropped volume is logged, never silent."""
+    dropped volume is logged, never silent. ``materialize=False`` returns
+    the lazy, lineage-preserving plan with nothing persisted (see
+    ``minhash_near_duplicates``)."""
     sigs = simhash_signatures(df, id_col, text_col, shingle_n)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
@@ -722,9 +788,9 @@ def simhash_near_duplicates(
     if bucket_cap is not None:
         blocks = _cap_hot_buckets(
             blocks, ["block", "block_val"], id_col, bucket_cap,
-            "simhash_near_duplicates", handles=handles,
+            "simhash_near_duplicates", handles=handles, eager=materialize,
         )
-    else:
+    elif materialize:
         # the self-join below otherwise recomputes the simhash Arrow pass
         # for each side (the capped path is already persisted)
         blocks = blocks.persist()
@@ -749,4 +815,6 @@ def simhash_near_duplicates(
     out = cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if not materialize:
+        return out
     return _checkpoint_and_release(out, handles)

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from judyst_web_crawler_spark.cache import checkpoint_and_release
+
 
 def _vec(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -166,24 +168,18 @@ def query_buckets(query: list[float], planes: list[list[list[float]]]) -> list[i
     return probes
 
 
-def ann_topk_jvm(
+def ann_candidates(
     df: DataFrame,
     query: list[float],
     planes: list[list[list[float]]],
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k with caller-supplied LITERAL hyperplanes, fully JVM-side:
-    per-table bucket columns → candidate filter (bucket matches the
-    query's bucket in ≥1 table) → exact cosine top-k on candidates only.
-
-    This is the oracle-checkable twin of ``ann_topk`` (whose float32
-    numpy path and Generator planes a SQL engine cannot reproduce
-    bit-exactly): with ``arith_hyperplanes`` both sides compute identical
-    doubles, so recall@k against ``brute_force_topk`` is a deterministic,
-    SQL-verifiable scalar. No shuffle — candidates come from a filter,
-    the top-k is TakeOrderedAndProject."""
+    """The sign-LSH candidate set for ``query``: vectors whose bucket
+    matches the query's bucket in ≥1 table, computed fully JVM-side from
+    LITERAL hyperplanes. The single normative probe rule — ``ann_topk_jvm``
+    ranks these, and the driver's ann_recall query measures recall over
+    this exact set, so the bucket fold cannot drift between the two."""
     probes = query_buckets(query, planes)
     sig = df.select(
         id_col, vec_col,
@@ -193,7 +189,27 @@ def ann_topk_jvm(
     for t, qb in enumerate(probes):
         c = F.col(f"_b{t}") == qb
         match = c if match is None else (match | c)
-    cands = sig.filter(match).select(id_col, vec_col)
+    return sig.filter(match).select(id_col, vec_col)
+
+
+def ann_topk_jvm(
+    df: DataFrame,
+    query: list[float],
+    planes: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with caller-supplied LITERAL hyperplanes, fully JVM-side:
+    ``ann_candidates`` → exact cosine top-k on candidates only.
+
+    This is the oracle-checkable twin of ``ann_topk`` (whose float32
+    numpy path and Generator planes a SQL engine cannot reproduce
+    bit-exactly): with ``arith_hyperplanes`` both sides compute identical
+    doubles, so recall@k against ``brute_force_topk`` is a deterministic,
+    SQL-verifiable scalar. No shuffle — candidates come from a filter,
+    the top-k is TakeOrderedAndProject."""
+    cands = ann_candidates(df, query, planes, id_col, vec_col)
     return brute_force_topk(cands, query, k, id_col, vec_col)
 
 
@@ -398,14 +414,20 @@ def embedding_near_duplicates(
     n_tables: int = 6,
     bits: int = 10,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold: LSH bucket
-    self-join for candidates, exact cosine verify. (id_a < id_b)."""
+    self-join for candidates, exact cosine verify. (id_a < id_b).
+    ``materialize=False`` returns the lazy, lineage-preserving plan with
+    nothing persisted (see ``dedup_fuzzy.minhash_near_duplicates``)."""
     sigs = lsh_signatures(df, dim, id_col, vec_col, n_tables, bits, seed)
-    # self-join consumes the signature subplan twice — persist so the
-    # Arrow hyperplane pass runs once (same rationale as the MinHash
-    # path); released below once the pair result is materialized
-    sigs = sigs.persist()
+    handles: list[DataFrame] = []
+    if materialize:
+        # self-join consumes the signature subplan twice — persist so the
+        # Arrow hyperplane pass runs once (same rationale as the MinHash
+        # path); released below once the pair result is materialized
+        sigs = sigs.persist()
+        handles.append(sigs)
     l, r = sigs.alias("l"), sigs.alias("r")
     pairs = (
         l.join(
@@ -425,7 +447,6 @@ def embedding_near_duplicates(
     out = joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
-    try:
-        return out.localCheckpoint(eager=True)
-    finally:
-        sigs.unpersist()
+    if not materialize:
+        return out
+    return checkpoint_and_release(out, handles)

@@ -30,16 +30,21 @@ def simple_plan(df: DataFrame) -> str:
 
 def _split_predicates(body: str) -> list[str]:
     """Split a bracket body on TOP-LEVEL commas only — `In(cell, [0,1])`
-    is one predicate, not three fragments."""
+    is one predicate, not three fragments. Brackets and commas inside
+    string literals (``EqualTo(text, "a[b,c")``) don't count."""
     out: list[str] = []
     depth = 0
+    in_str = False
     cur: list[str] = []
     for ch in body:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == '"':
+            in_str = not in_str
+        elif not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             if "".join(cur).strip():
                 out.append("".join(cur).strip())
             cur = []
@@ -53,18 +58,25 @@ def _split_predicates(body: str) -> list[str]:
 def _bracket_bodies(plan: str, label: str) -> list[str]:
     """Full bodies of ``label: [...]`` with BALANCED bracket matching —
     ``In(cell, [0,1,2])`` contains a nested ``]`` that a ``[^\\]]*`` regex
-    would truncate at, handing _split_predicates a clipped body."""
+    would truncate at, handing _split_predicates a clipped body. Brackets
+    inside string literals (``EqualTo(text, "a[b")``) are ignored, else an
+    unmatched quoted ``[`` swallows the rest of the plan into the body."""
     bodies: list[str] = []
     for m in re.finditer(re.escape(label) + r":\s*\[", plan):
         depth = 1
+        in_str = False
         i = m.end()
         while i < len(plan) and depth:
-            if plan[i] == "[":
-                depth += 1
-            elif plan[i] == "]":
-                depth -= 1
+            ch = plan[i]
+            if ch == '"':
+                in_str = not in_str
+            elif not in_str:
+                if ch == "[":
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
             i += 1
-        bodies.append(plan[m.end():i - 1])
+        bodies.append(plan[m.end():i - 1] if depth == 0 else plan[m.end():i])
     return bodies
 
 

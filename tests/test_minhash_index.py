@@ -128,16 +128,64 @@ def test_index_query_plan_has_no_full_corpus_signature_pass(spark, tmp_path):
     # the committed index IS read...
     assert "idx/bands" in plan
     # ...and the corpus appears exactly twice: the verify join's two
-    # candidate-keyed text lookups (id_a side + id_b side). The batch
-    # path would add a THIRD scan feeding its corpus-wide Arrow
-    # signature stage.
+    # candidate-keyed text lookups (id_a side + id_b side). A corpus-wide
+    # Arrow signature pass (what the batch path runs) would require a
+    # THIRD corpus scan to feed it — two scans proves the corpus is never
+    # re-fingerprinted. (The wave's own signature subplan DOES reprint
+    # several times in this fully-lazy plan — materialize=False persists
+    # nothing by contract — but it reads only Scan ExistingRDD, the
+    # in-memory wave, never the corpus parquet.)
     assert plan.count(corpus_path) == 2
-    # exactly two distinct Arrow stages (formatted-mode node ids, which
-    # dedupe the cached-branch reprints): the wave signature pass — over
-    # the in-memory wave's Scan ExistingRDD, never a parquet scan — and
-    # the pair verify. A corpus-wide fingerprint pass would be a third.
-    import re
-
-    arrow_ids = set(re.findall(r"\((\d+)\) MapInPandas", plan))
-    assert len(arrow_ids) == 2, arrow_ids
     assert "Scan ExistingRDD" in plan
+    # nothing persisted while merely building the plan
+    assert "InMemoryRelation" not in plan
+
+
+def test_index_append_recrawled_id_last_wins_no_duplicate_pairs(spark, tmp_path):
+    """A re-crawled id (the recrawl-generations path re-fetches stale
+    urls) is committed AGAIN with a higher gen: the query must (a) emit
+    each pair once — pre-gen, the duplicate sig rows fanned every pair
+    touching the id into duplicate output rows through the estimate
+    join — and (b) estimate with the LATEST signature."""
+    docs = _corpus(spark).cache()
+    idx = str(tmp_path / "idx")
+    D.minhash_index_write(docs.filter(F.col("doc_id") <= 6), idx)
+    # re-crawl id 3 with a minor edit (same OTHER family): old and new
+    # signatures are both near the new text, the duplicate-fanout case
+    new3 = OTHER * 3 + " обновлённая редакция после повторного обхода."
+    recrawl = spark.createDataFrame([(3, new3)], "doc_id long, text string")
+    D.minhash_index_append(recrawl, idx)
+    sig_gens = {
+        (r["doc_id"], r["gen"])
+        for r in spark.read.parquet(f"{idx}/sigs").filter("doc_id = 3").collect()
+    }
+    assert sig_gens == {(3, 0), (3, 1)}  # both commits present, gen-stamped
+
+    wave = spark.createDataFrame(
+        [(12, OTHER * 3 + " новая волна о походах.")], "doc_id long, text string"
+    )
+    # corpus_texts = CURRENT text per id (re-crawled 3 carries the new
+    # text, the crawl's own last-wins merge) plus the wave's docs
+    current = (
+        docs.filter(F.col("doc_id") != 3).unionByName(recrawl).unionByName(wave)
+    )
+    rows = D.minhash_query_index(wave, idx, current, threshold=0.5).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), pairs  # one row per pair
+    # 12 ≈ 3 (via the re-crawled doc's CURRENT text) and ≈ 6 (OTHER family)
+    assert {(3, 12), (6, 12)} <= set(pairs)
+
+
+def test_index_query_reads_pre_gen_layout(spark, tmp_path):
+    """Indexes written before gen stamping (no ``gen`` column) still
+    query: the column is injected as 0."""
+    docs = _corpus(spark)
+    base = docs.filter(F.col("doc_id") <= 6)
+    idx = str(tmp_path / "idx")
+    D.minhash_index_write(base, idx)
+    # strip the gen column in place, emulating the old layout
+    legacy = spark.read.parquet(f"{idx}/sigs").drop("gen").localCheckpoint()
+    legacy.write.mode("overwrite").parquet(f"{idx}/sigs")
+    wave = docs.filter(F.col("doc_id").between(7, 9))
+    got = _pairs(D.minhash_query_index(wave, idx, docs, threshold=0.5))
+    assert (1, 7) in got and (8, 9) in got
