@@ -174,22 +174,66 @@ def ann_candidates(
     planes: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """The sign-LSH candidate set for ``query``: vectors whose bucket
-    matches the query's bucket in ≥1 table, computed fully JVM-side from
-    LITERAL hyperplanes. The single normative probe rule — ``ann_topk_jvm``
-    ranks these, and the driver's ann_recall query measures recall over
-    this exact set, so the bucket fold cannot drift between the two."""
+    matches the query's bucket in ≥1 table. The single normative probe
+    rule — ``ann_topk_jvm`` ranks these, and the driver's ann_recall
+    query measures recall over this exact set, so the bucket fold cannot
+    drift between the two.
+
+    ``engine='arrow'`` (default) computes every bucket in ONE vectorized
+    pandas pass with the EXACT sequential summation the Column fold and
+    the SQL oracle use — ``acc = acc + v[i]*p[i]`` left-to-right, one
+    IEEE-double mul + add per element, vectorized ACROSS rows and planes,
+    never reassociated (so no np.dot, whose pairwise/SIMD summation
+    reorders) — giving bit-identical buckets at ~100× the throughput:
+    Spark does NOT codegen higher-order functions, so the ``engine='jvm'``
+    Column path evaluates tables×bits interpreted 64-step lambda folds
+    per row (~25 s for 5000×80 at sf0.1; the Arrow pass is the production
+    shape). Bucket equality between the two engines is pinned in tests."""
     probes = query_buckets(query, planes)
-    sig = df.select(
-        id_col, vec_col,
-        *[lsh_bucket_col(vec_col, tp).alias(f"_b{t}") for t, tp in enumerate(planes)],
+    if engine == "jvm":
+        sig = df.select(
+            id_col, vec_col,
+            *[lsh_bucket_col(vec_col, tp).alias(f"_b{t}") for t, tp in enumerate(planes)],
+        )
+        match = None
+        for t, qb in enumerate(probes):
+            c = F.col(f"_b{t}") == qb
+            match = c if match is None else (match | c)
+        return sig.filter(match).select(id_col, vec_col)
+
+    P = np.asarray(planes, dtype=np.float64)  # (tables, bits, dim)
+    n_tables, bits, dim = P.shape
+    flat = np.ascontiguousarray(P.reshape(n_tables * bits, dim))
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    probe_arr = np.asarray(probes, dtype=np.int64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf[vec_col]
+            # NULL vectors can never match a probe (the Column fold yields
+            # NULL buckets, dropped by the filter) — same rule here
+            ok = np.fromiter((v is not None for v in vecs), bool, len(vecs))
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+            acc = np.zeros((len(V), n_tables * bits), dtype=np.float64)
+            for i in range(dim):  # sequential over i = the normative order
+                acc += V[:, i : i + 1] * flat[None, :, i]
+            bit_on = (acc > 0).reshape(len(V), n_tables, bits)
+            buckets = bit_on @ weights  # (rows, tables) int64
+            hit = (buckets == probe_arr[None, :]).any(axis=1)
+            if hit.any():
+                yield sub.loc[sub.index[hit], [id_col, vec_col]]
+
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, f"{id_col} long, {vec_col} array<double>"
     )
-    match = None
-    for t, qb in enumerate(probes):
-        c = F.col(f"_b{t}") == qb
-        match = c if match is None else (match | c)
-    return sig.filter(match).select(id_col, vec_col)
 
 
 def ann_topk_jvm(

@@ -189,3 +189,20 @@ def test_engine_wave_respects_crawl_delay_budget(spark, tmp_path):
     for h, n in per_host.items():
         assert n <= budgets[h], (h, n, budgets[h])
     pages.unpersist()
+
+
+def test_ann_candidates_arrow_matches_jvm(spark):
+    """The Arrow bucket pass must select the IDENTICAL candidate set as
+    the Column-fold path — same sequential mul/add order, bit-identical
+    sign decisions (the parity ann_recall's oracle relies on)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
+    planes = S.arith_hyperplanes(64, 16, 5)
+    arrow = {r["vec_id"] for r in S.ann_candidates(emb, q, planes).collect()}
+    jvm = {
+        r["vec_id"]
+        for r in S.ann_candidates(emb, q, planes, engine="jvm").collect()
+    }
+    assert arrow == jvm and arrow  # identical and non-vacuous
