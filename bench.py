@@ -67,6 +67,7 @@ HEADLINE = [
     "crawl_delay_budget",
     "corpus_prep",
     "etl_update",
+    "duplicate_ngram_spans",
 ]
 # round-2 → round-3 name mapping (queries consolidated so every oracled
 # query fits the driver's 50-entry sweep window; see __spark_entry__.py):

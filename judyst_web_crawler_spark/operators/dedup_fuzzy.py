@@ -99,6 +99,49 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated token-n-gram spans ACROSS documents — the
+    exact-substring dedup primitive (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §3 ExactSubstr, public
+    method): every n-token window that occurs in ≥ ``min_docs`` distinct
+    documents, with its document count, total occurrence count and
+    lowest containing id.
+
+    Fully SQL-expressible (oracled in the driver), fully JVM-side: lower
+    → whitespace split → slide an n-token window (``transform`` over an
+    index ``sequence``) → ONE hash-keyed groupBy. Scale shape: the
+    explode is the same volume class as the MinHash shingle pass
+    (O(tokens) rows), and the aggregation is count-like with map-side
+    partial combine — a boilerplate span occurring a billion times is a
+    hot GROUP, never a hot JOIN side, so skew degrades one reducer's
+    counter, not the plan. Downstream exact-substring removal joins
+    documents against this (small) span table by id."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = df.select(F.col(id_col), F.explode(windows).alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per fingerprint group."""
     fp = df.withColumn("fingerprint", normalized_fingerprint(text_col))

@@ -174,3 +174,29 @@ def test_simhash_jvm_properties(spark):
     ham_14 = bin(sims[1] ^ sims[4]).count("1")
     assert ham_13 <= 4
     assert ham_14 > ham_13
+
+
+def test_duplicate_ngram_spans_counts_and_guards(spark):
+    """Exact-substring primitive: interior 8-grams of a sentence shared
+    verbatim by several docs are reported with distinct-doc and total
+    occurrence counts; sub-n docs don't crash; case-insensitive."""
+    from judyst_web_crawler_spark.operators.dedup_fuzzy import duplicate_ngram_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + shared + " trailing end"),
+            (2, "Other start " + shared.upper() + " different tail"),
+            (3, "totally unrelated text with no repeated windows at all here now"),
+            (4, "short"),  # < n tokens: guard, not a crash
+            (5, shared + " " + shared),  # within-doc repetition counts occurrences
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_ngram_spans(docs, n=8, min_docs=2).collect()
+    got = {r["span"]: (r["n_docs"], r["n_occurrences"], r["first_doc"]) for r in rows}
+    toks = shared.split()
+    interior = {" ".join(toks[i : i + 8]) for i in range(3)}  # 10-8+1 windows
+    assert set(got) == interior
+    # docs 1, 2, 5 carry each interior span; doc 5 twice -> 4 occurrences
+    assert all(v == (3, 4, 1) for v in got.values()), got
