@@ -196,8 +196,9 @@ def run_scaling() -> dict:
     Fresh subprocess per level so JVM state is clean."""
     levels = os.environ.get("SPARK_SCALING_LEVELS", "2,8").split(",")
     samples = int(os.environ.get("SPARK_SCALING_SAMPLES", "2"))
-    results = {}
-    for cpus in levels:
+    results: dict = {}
+
+    def run_leg(cpus: str) -> dict:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=cpus,
@@ -215,25 +216,37 @@ def run_scaling() -> dict:
             SPARK_BENCH_URLS=os.environ.get("SPARK_BENCH_URLS", "150000"),
             SPARK_BENCH_BUDGET=os.environ.get("SPARK_BENCH_BUDGET", "150000"),
         )
-        # best-of-N per leg: this host shows ±10-25% run-to-run IO/CPU
-        # interference, which only ever SLOWS a sample — the max is the
-        # least-interfered estimate of each leg's true throughput
-        best = None
-        for _ in range(samples):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--frontier-only"],
-                env=env, capture_output=True, text=True, timeout=3600,
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--frontier-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling leg local[{cpus}] failed (exit {proc.returncode}); stderr above"
             )
-            lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-            if proc.returncode != 0 or not lines:
-                sys.stderr.write(proc.stderr[-4000:])
-                raise RuntimeError(
-                    f"scaling leg local[{cpus}] failed (exit {proc.returncode}); stderr above"
-                )
-            got = json.loads(lines[-1])["frontier"]
-            if best is None or got["urls_per_sec"] > best["urls_per_sec"]:
-                best = got
-        results[cpus] = best
+        return json.loads(lines[-1])["frontier"]
+
+    # INTERLEAVED sample rounds (2,8,2,8 — not 2,2,8,8), best-of-N per
+    # level: this host's throughput drifts over tens of minutes
+    # (BASELINE.md drift notes), so adjacent legs of DIFFERENT levels see
+    # the most similar host state; interference only ever SLOWS a sample,
+    # so the max is the least-interfered estimate of each leg's truth.
+    # SPARK_SCALING_COOLDOWN_S idles the box before EACH leg: round-3
+    # forensics showed sustained load pushes the host into a ~2-3×-slower
+    # state that recovers over ~10 min of idleness (BASELINE.md round-3
+    # scaling section) — without a cooldown, whichever leg runs later in
+    # the invocation measures the degraded host, not the engine.
+    cooldown = int(os.environ.get("SPARK_SCALING_COOLDOWN_S", "0"))
+    for _ in range(samples):
+        for cpus in levels:
+            if cooldown:
+                time.sleep(cooldown)
+            got = run_leg(cpus)
+            prev = results.get(cpus)
+            if prev is None or got["urls_per_sec"] > prev["urls_per_sec"]:
+                results[cpus] = got
     lo, hi = levels[0], levels[-1]
     ratio = int(hi) / int(lo)
     tn = results[lo]["urls_per_sec"]
