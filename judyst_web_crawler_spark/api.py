@@ -33,6 +33,7 @@ Scale notes (deviations from the reference, documented):
 from __future__ import annotations
 
 import json
+import os
 from enum import Enum
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -342,8 +343,24 @@ def fill_data_source_from_file(
     ``put_data`` per record). Headers carrying a ``'not unique'`` marker
     are dropped (P8, ksrf.py:194); link records get ``citations_number``
     recomputed from the positions list (A2, DatabaseWrapper.py:33-37 —
-    both already inside the jsonio readers). Returns rows ingested."""
+    both already inside the jsonio readers). Returns rows ingested.
+
+    SINGLE-FILE contract: the last-wins rule below relies on
+    ``monotonically_increasing_id`` tracking byte offset, which holds for
+    one uncompressed jsonlines file (splits are packed in offset order)
+    but NOT for a directory/glob — multi-file partition order follows
+    file-size order, so "max _seq" would no longer mean "last record".
+    Directories/globs are rejected rather than silently mis-ordered;
+    ingest multiple files by calling per file (the reference's surface is
+    likewise one file per call, tools.py:20)."""
     from judyst_web_crawler_spark.sources import jsonio
+
+    if any(ch in path for ch in "*?[") or os.path.isdir(path):
+        raise ValueError(
+            "fill_data_source_from_file ingests a SINGLE jsonlines file "
+            f"(got {path!r}): the last-record-wins ordering is only "
+            "defined within one file — call once per file instead"
+        )
 
     if data_type == DataType.DOCUMENT_HEADER:
         df = jsonio.filter_unique_headers(
@@ -380,6 +397,7 @@ def update_database_from_source(
     database: CatalogSource,
     source: DataSource,
     fetch_fn=None,
+    refresh: bool = False,
 ) -> dict:
     """One-shot "headers → store, then backfill texts" ETL (reference
     ``updatae_database_from_source`` [sic], tools.py:50-68).
@@ -393,6 +411,18 @@ def update_database_from_source(
     for ids the source's own text table lacks (optional — without it the
     backfill uses source texts only, no network stand-in).
 
+    ``refresh`` picks the text-propagation semantics:
+
+    - ``False`` (default): backfill ONLY ids whose text is missing from
+      the database. This is a DELIBERATE deviation from the reference,
+      which re-puts the source's text for every header uid on every run
+      (tools.py:58-67) — at corpus scale that is a full-corpus rewrite
+      per invocation; the default touches only the delta.
+    - ``True``: reference semantics — every header uid's text is re-read
+      from the source (or fetched) and last-wins upserted, so a
+      re-crawled/updated source text propagates over a stale database
+      copy. Use for correction passes; cost is O(all texts).
+
     Returns ``{"headers": n, "texts_backfilled": n}``."""
     # consumed three times (count, header merge, missing-ids anti-join) —
     # materialize once, same one-materialization rule as
@@ -402,11 +432,11 @@ def update_database_from_source(
     database.put_data_df(headers, DataType.DOCUMENT_HEADER)
 
     want = headers.select("doc_id")
-    if database.catalog.exists(TEXTS_TABLE):
+    if refresh or not database.catalog.exists(TEXTS_TABLE):
+        missing = want
+    else:
         have = database.catalog.read(TEXTS_TABLE).select("doc_id")
         missing = want.join(have, "doc_id", "left_anti")
-    else:
-        missing = want
     # a headers-only source (the canonical flow: headers from a jsonl
     # fill, texts to arrive via fetch_fn) has no texts table at all —
     # the reference handles this by fetching per-uid (tools.py:58-66);

@@ -91,6 +91,21 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
     "es": ["la ", " la", "os ", "ció", " es", "ue ", "que", " qu",
            "ado", "par", " el", "el ", " en", "nte", " co", "ión",
            "de ", " de", "as ", "una"],
+    "it": [" di", "di ", "che", " ch", "zio", "ion", "one", " co",
+           "ent", "to ", "ell", "del", " de", "ato", "per", " pe",
+           "gli", "lla", "la ", " la"],
+    "pt": [" de", "de ", "ão ", "ção", "que", " qu", "os ", "ent",
+           " co", "ado", "da ", " da", "ar ", "ara", "par", " pa",
+           "em ", " em", "as ", "do "],
+    "nl": ["de ", " de", "en ", "van", " va", "an ", "het", " he",
+           "een", " ee", "ijk", "aar", "oor", " ge", "gen", "ing",
+           " en", "nde", "er ", "cht"],
+    "pl": ["nie", " ni", "ie ", " po", "na ", " na", "prz", " pr",
+           "rze", "ych", "ego", "owa", "ani", "ośc", "ski", "wie",
+           "cze", " w ", " z ", "ać "],
+    "uk": ["ння", "енн", " та", "та ", "ому", "іст", "ів ", "ня ",
+           "ати", "під", "ува", "ьно", " до", "ні ", " ві", "від",
+           "аці", "ція", "ськ", "ьки"],
 }
 TRIGRAM_LANG_ORDER = list(TRIGRAM_PROFILES)  # tie-break: first wins
 TRIGRAM_MIN_HITS = 3  # below this evidence, fall back to script heuristic
@@ -108,7 +123,7 @@ def trigram_score(text: Column | str, lang: str) -> Column:
 
 
 def lang_id_trigram(text: Column | str) -> Column:
-    """Trigram-profile language ID (en/ru/de/fr/es) with the script
+    """Trigram-profile language ID (en/ru/de/fr/es/it/pt/nl/pl/uk) with the script
     heuristic (:func:`lang_id`) as the low-evidence fallback — pure
     Column exprs (whole-stage codegen), the production upgrade over the
     script-only heuristic VERDICT r2 flagged (which reads every latin

@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,8 +64,10 @@ def _cap_hot_buckets(
     upstream signature pass (the expensive Arrow stage) runs once, not
     once for the count and again for the join — and the subsequent
     bucket SELF-join reads the same persisted table on both sides
-    instead of recomputing it twice. Cache eviction is left to Spark's
-    LRU (the banded table is id+keys only, far smaller than the corpus).
+    instead of recomputing it twice. Release protocol: callers pass
+    ``handles`` and release via ``cache.checkpoint_and_release``; with no
+    ``handles`` the persist is scoped to the count action and unpersisted
+    here (nothing is ever left to driver-lifetime LRU).
     """
     w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
     marked = rows.withColumn("_rn", F.row_number().over(w))
@@ -76,12 +79,21 @@ def _cap_hot_buckets(
         marked = marked.persist()
         if handles is not None:
             handles.append(marked)
-        dropped = marked.filter(F.col("_rn") > cap).count()
-        if dropped:
-            log.warning(
-                "%s: hot-bucket cap=%d dropped %d bucket memberships "
-                "(pairs beyond the cap are not candidates)", what, cap, dropped
-            )
+        try:
+            dropped = marked.filter(F.col("_rn") > cap).count()
+            if dropped:
+                log.warning(
+                    "%s: hot-bucket cap=%d dropped %d bucket memberships "
+                    "(pairs beyond the cap are not candidates)", what, cap, dropped
+                )
+        finally:
+            # no handles list = no caller owns the release; unpersist now
+            # rather than leak a cached table to LRU on a long-lived
+            # driver (the downstream self-join recomputes the subplan —
+            # correct, just unshared; callers who want the shared read
+            # pass `handles` and release via cache.checkpoint_and_release)
+            if handles is None:
+                marked.unpersist()
     return marked.filter(F.col("_rn") <= cap).drop("_rn")
 
 
@@ -99,12 +111,19 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+# Seed for the second, independent span hash: (h1, h2) is a 128-bit key,
+# so a cross-span collision (which would silently merge two spans' counts)
+# is negligible at any corpus size (birthday bound ~n²/2^129).
+_SPAN_HASH_SALT = 0x9E3779B9
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    resolve_spans: bool = True,
 ) -> DataFrame:
     """Exact repeated token-n-gram spans ACROSS documents — the
     exact-substring dedup primitive (Lee et al. 2022, "Deduplicating
@@ -113,15 +132,26 @@ def duplicate_ngram_spans(
     documents, with its document count, total occurrence count and
     lowest containing id.
 
-    Fully SQL-expressible (oracled in the driver), fully JVM-side: lower
-    → whitespace split → slide an n-token window (``transform`` over an
-    index ``sequence``) → ONE hash-keyed groupBy. Scale shape: the
-    explode is the same volume class as the MinHash shingle pass
-    (O(tokens) rows), and the aggregation is count-like with map-side
-    partial combine — a boilerplate span occurring a billion times is a
-    hot GROUP, never a hot JOIN side, so skew degrades one reducer's
-    counter, not the plan. Downstream exact-substring removal joins
-    documents against this (small) span table by id."""
+    Fully JVM-side: lower → whitespace split → slide an n-token window
+    (``transform`` over an index ``sequence``) → hash-keyed groupBy.
+
+    Scale shape (the 100 TB contract): the wide aggregation is keyed on
+    a 128-bit span hash ``(xxhash64(span), xxhash64(span, salt))``, so
+    the exchange carries 24 bytes/row (h1, h2, id) instead of the raw
+    ~n×token-length span string — on a mostly-unique span distribution
+    (where map-side combine cannot compress) that cuts shuffle volume
+    ~3× and, critically, never amplifies corpus bytes through the wire.
+    Hot boilerplate spans remain hot GROUPS (partial-combined map-side),
+    never hot JOIN sides. Span STRINGS only cross an exchange after the
+    ``min_docs`` filter: the surviving hash set (16 B/row) broadcasts
+    into a left_semi that drops singleton spans map-side, then one
+    groupBy resolves ``min(span)`` per surviving hash. For corpora whose
+    *shared*-span set itself exceeds broadcast capacity, pass
+    ``resolve_spans=False``: the result keeps (h1, h2) keys — downstream
+    exact-substring removal joins document windows on the same hashes,
+    so the strings are never needed at scale (Lee et al.'s production
+    path is suffix-array based; this is the shuffle-bounded DataFrame
+    equivalent)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -131,14 +161,34 @@ def duplicate_ngram_spans(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
     ).otherwise(F.array().cast("array<string>"))
     spans = df.select(F.col(id_col), F.explode(windows).alias("span"))
-    return (
-        spans.groupBy("span")
+    h1 = F.xxhash64(F.col("span"))
+    h2 = F.xxhash64(F.col("span"), F.lit(_SPAN_HASH_SALT))
+    groups = (
+        spans.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
+        .groupBy("h1", "h2")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.min(id_col).alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+    if not resolve_spans:
+        return groups
+    # Resolve strings for SURVIVING groups only: re-derive the windows
+    # (CPU-linear, no stored intermediate), drop singletons map-side via
+    # the broadcast semi join, and collapse to one string per hash pair.
+    # min(span) makes the pick deterministic even under a (negligible)
+    # 128-bit collision.
+    survivors = F.broadcast(groups.select("h1", "h2"))
+    resolved = (
+        spans.select(F.col("span"), h1.alias("h1"), h2.alias("h2"))
+        .join(survivors, ["h1", "h2"], "left_semi")
+        .groupBy("h1", "h2")
+        .agg(F.min("span").alias("span"))
+    )
+    return groups.join(resolved, ["h1", "h2"]).select(
+        "span", "n_docs", "n_occurrences", "first_doc"
     )
 
 
@@ -568,11 +618,25 @@ def minhash_near_duplicates(
 
 def _next_index_gen(spark, path: str) -> int:
     """Next commit sequence number for ``path``'s sigs table (0 for a
-    fresh index; indexes written before gen stamping count as gen 0)."""
-    try:
-        prev = spark.read.parquet(os.path.join(path, "sigs"))
-    except Exception:  # no sigs yet (fresh path) — AnalysisException
+    fresh index; indexes written before gen stamping count as gen 0).
+
+    Only a genuinely-absent sigs table maps to gen 0: a TRANSIENT read
+    failure on an EXISTING index (permissions, corrupt footer) must fail
+    loudly, not silently alias a fresh index — a gen-0 append over live
+    gen-0 rows would tie in the last-wins window and pick between stale
+    and fresh signatures nondeterministically."""
+    sigs_dir = os.path.join(path, "sigs")
+    if not os.path.exists(sigs_dir):
         return 0
+    try:
+        prev = spark.read.parquet(sigs_dir)
+    except AnalysisException:
+        # path exists but holds no readable parquet footer at all —
+        # only an EMPTY placeholder dir counts as fresh; anything else
+        # (files present but unreadable) must surface
+        if not os.listdir(sigs_dir):
+            return 0
+        raise
     if "gen" not in prev.columns:
         return 1
     top = prev.agg(F.max("gen")).first()[0]
@@ -595,8 +659,25 @@ def minhash_index_write(
     commit is stamped with a ``gen`` sequence number so a later append of
     a RE-CRAWLED id supersedes (last-wins) its stored signature at query
     time instead of duplicating it."""
-    gen = _next_index_gen(df.sparkSession, path) if mode == "append" else 0
-    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed).persist()
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed)
+    minhash_index_write_sigs(sigs, path, id_col=id_col, k=k, bands=bands, mode=mode)
+
+
+def minhash_index_write_sigs(
+    sigs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Commit PRE-COMPUTED ``(id, signature)`` rows to the index — the
+    path the frontier engine uses: the crawl wave's fused
+    extract+fingerprint pass already produced the signatures, so indexing
+    a wave must not re-fingerprint it (the signatures column ships with
+    the documents row)."""
+    gen = _next_index_gen(sigs.sparkSession, path) if mode == "append" else 0
+    sigs = sigs.select(id_col, "signature").persist()
     try:
         band_explode(sigs, id_col, bands, k // bands).write.mode(mode).partitionBy(
             "band"
@@ -626,6 +707,7 @@ def minhash_query_index(
     threshold: float = 0.7,
     margin: float | None = 0.15,
     materialize: bool = True,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of NEW documents vs the committed index (plus
     new-vs-new within the batch) — identical semantics to running
@@ -640,11 +722,20 @@ def minhash_query_index(
     assertions / composition) and persists NOTHING — the new-sig subplan
     is recomputed per consuming action instead of leaking a cached table
     the caller has no handle to; the default persists, checkpoints the
-    pair result and releases intermediates deterministically."""
+    pair result and releases intermediates deterministically.
+
+    ``new_sigs`` (optional ``(id, signature)`` rows) skips the Arrow
+    fingerprint pass over ``new_df`` entirely — pass it when the wave's
+    signatures already exist (the frontier's fused extract+fingerprint
+    stores them on the documents row): the query then runs ZERO
+    signature passes, new or corpus."""
     spark = new_df.sparkSession
-    new_sigs = minhash_signatures(
-        new_df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed
-    )
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            new_df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed
+        )
+    else:
+        new_sigs = new_sigs.select(id_col, "signature")
     handles: list[DataFrame] = []
     if materialize:
         new_sigs = new_sigs.persist()
@@ -685,7 +776,13 @@ def minhash_query_index(
         )
         if "gen" not in idx_sigs.columns:  # pre-gen index layout
             idx_sigs = idx_sigs.withColumn("gen", F.lit(0))
-        w = Window.partitionBy(id_col).orderBy(F.col("gen").desc())
+        # gen desc = last commit wins; the xxhash64(signature) secondary
+        # key makes a gen TIE (two commits stamped equally, e.g. a legacy
+        # pre-gen index appended before its first stamped commit) pick
+        # deterministically instead of by partition arrival order
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("gen").desc(), F.xxhash64("signature").desc()
+        )
         stored = (
             idx_sigs.join(cand_ids, id_col, "left_semi")
             .withColumn("_rn", F.row_number().over(w))

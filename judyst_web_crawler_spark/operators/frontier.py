@@ -49,7 +49,7 @@ from judyst_web_crawler_spark.functions import canonical as C
 from judyst_web_crawler_spark.functions.extraction import extract_text, extract_text_udf
 from judyst_web_crawler_spark.operators.politeness import apply_robots, budget_topk
 from judyst_web_crawler_spark.operators.seen import (
-    ShardedBloom,
+    CatalogShardedBloom,
     bloom_bits_for,
     build_bloom,
     filter_new_exact,
@@ -96,23 +96,43 @@ class FrontierEngine:
         bloom_k: int = 5,
         fingerprint_k: int | None = None,
         bloom_shards: int | None = None,
+        minhash_index_path: str | None = None,
+        minhash_bands: int = 16,
     ):
         self.spark = spark
         self.catalog = catalog
         self.politeness = politeness
         self.use_bloom = use_bloom
-        # bloom_shards: hash-range sharded filter (the 10^10-key layout —
-        # executor-side shard merge, range-alignable with the seen table)
-        self._sharded: ShardedBloom | None = None
+        # bloom_shards: hash-range sharded filter (the 10^10-key layout).
+        # CATALOG-resident since round 4: blobs live as one catalog row
+        # per shard (range-aligned with `seen`), membership cogroups each
+        # candidate partition with ITS shard's blob executor-side, and a
+        # restarted engine resumes from the committed shard table — no
+        # driver blob dict, no full seen-table rebuild pass on resume.
+        self._sharded: CatalogShardedBloom | None = None
         if use_bloom and bloom_shards:
             per_shard = max(1 << 14, bloom_bits_for(bloom_capacity, bloom_bits_per_item) // bloom_shards)
-            self._sharded = ShardedBloom(n_shards=bloom_shards, bits_per_shard=per_shard, k=bloom_k)
-            if catalog.exists(SEEN_TABLE):
+            self._sharded = CatalogShardedBloom(
+                catalog, n_shards=bloom_shards, bits_per_shard=per_shard, k=bloom_k
+            )
+            if not catalog.exists(self._sharded.table) and catalog.exists(SEEN_TABLE):
+                # one-time migration of a pre-round-4 catalog (seen rows
+                # exist, no shard table yet) — never repeated on resume
                 self._sharded.add_df(catalog.read(SEEN_TABLE))
         # fingerprint_k: compute MinHash(k)+SimHash per document IN the
         # extract pass (one Arrow crossing; no re-read of the docs table
         # for the dedup-prep stage). None = extraction only.
         self.fingerprint_k = fingerprint_k
+        # minhash_index_path: commit each wave's (key_hash, signature)
+        # rows to the persisted band-bucket index so near-dup queries
+        # against ALL previously crawled documents never re-fingerprint
+        # anything (per-wave cost: O(new × matching buckets)).
+        if minhash_index_path is not None and not fingerprint_k:
+            raise ValueError("minhash_index_path requires fingerprint_k")
+        if fingerprint_k and fingerprint_k % minhash_bands:
+            raise ValueError("minhash_bands must divide fingerprint_k")
+        self._minhash_index_path = minhash_index_path
+        self._minhash_bands = minhash_bands
         self._bloom_k = bloom_k
         self._bloom_nbits = bloom_bits_for(bloom_capacity, bloom_bits_per_item)
         self._bloom: np.ndarray | None = None
@@ -414,6 +434,24 @@ class FrontierEngine:
         # (full-table read here made late waves pay O(total crawled))
         docs_c = self.catalog.read_last_append(DOCS_TABLE, v_docs)
 
+        # 5b. index += this wave's signatures (already computed in the
+        # fused extract pass — committed, never recomputed; gen-stamped
+        # appends give re-crawled keys last-wins at query time)
+        if self._minhash_index_path is not None:
+            from judyst_web_crawler_spark.operators.dedup_fuzzy import (
+                minhash_index_write_sigs,
+            )
+
+            minhash_index_write_sigs(
+                docs_c.select("key_hash", "signature"),
+                self._minhash_index_path,
+                id_col="key_hash",
+                k=self.fingerprint_k,
+                bands=self._minhash_bands,
+                mode="append",
+            )
+            mark("index_commit")
+
         # 6. seen += scheduled keys; bloom |= scheduled keys. The three
         # bookkeeping tables below are SKINNY (url/key/status columns);
         # committing them at full scan parallelism writes dozens of tiny
@@ -540,6 +578,38 @@ class FrontierEngine:
             "key_hash long, text string, signature array<long>, simhash long, wave int"
         )
         return fetched.select(*carry, "html").mapInPandas(run, schema)
+
+    def near_dups_of_wave(
+        self,
+        wave: int,
+        threshold: float = 0.7,
+        margin: float | None = 0.15,
+        materialize: bool = True,
+    ) -> DataFrame:
+        """Near-dup pairs (id_a, id_b, jaccard — ids are key_hash) of
+        wave ``wave``'s documents vs EVERYTHING crawled so far, without
+        re-fingerprinting any text: the wave's signatures come off its
+        own documents rows, the prior corpus off the committed band
+        index. Per-wave cost O(new × matching buckets) — the incremental
+        dedup loop a 100 TB crawl runs after every wave."""
+        if self._minhash_index_path is None:
+            raise ValueError("engine was built without minhash_index_path")
+        from judyst_web_crawler_spark.operators.dedup_fuzzy import minhash_query_index
+
+        docs = self.catalog.read(DOCS_TABLE)
+        wave_docs = docs.filter(F.col("wave") == wave)
+        return minhash_query_index(
+            wave_docs.select("key_hash", "text"),
+            self._minhash_index_path,
+            docs.select("key_hash", "text"),
+            id_col="key_hash",
+            k=self.fingerprint_k,
+            bands=self._minhash_bands,
+            threshold=threshold,
+            margin=margin,
+            materialize=materialize,
+            new_sigs=wave_docs.select("key_hash", "signature"),
+        )
 
     def discover_and_enqueue(self, pages: DataFrame, depth: int) -> int:
         """Multi-depth crawl feed: scan the documents fetched at

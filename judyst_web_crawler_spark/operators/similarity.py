@@ -231,9 +231,14 @@ def ann_candidates(
             if hit.any():
                 yield sub.loc[sub.index[hit], [id_col, vec_col]]
 
-    return df.select(id_col, vec_col).mapInPandas(
-        compute, f"{id_col} long, {vec_col} array<double>"
-    )
+    # output schema derives from the INPUT schema (not hardcoded
+    # long/array<double>): string doc ids and float32 embeddings keep
+    # their types, matching the engine='jvm' path's type contract
+    from pyspark.sql.types import StructType
+
+    in_schema = df.select(id_col, vec_col).schema
+    out_schema = StructType([in_schema[id_col], in_schema[vec_col]])
+    return df.select(id_col, vec_col).mapInPandas(compute, out_schema)
 
 
 def ann_topk_jvm(

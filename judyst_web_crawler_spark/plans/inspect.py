@@ -138,6 +138,34 @@ def broadcast_hint_count(df: DataFrame) -> int:
     return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
 
+def exchange_input_columns(df: DataFrame) -> list[set[str]]:
+    """Column names entering each shuffle, in plan order — one set per
+    ``Exchange`` node's ``Input [n]: [...]`` line in the formatted plan
+    (attribute ids like ``span#12`` are stripped to ``span``). Used to
+    assert WHAT a shuffle carries, not just that one exists: e.g. the
+    exact-substring aggregation must exchange span *hashes*, never the
+    raw span strings (byte-amplification bound at 100 TB)."""
+    plan = formatted_plan(df)
+    out: list[set[str]] = []
+    # Formatted plans list each node as "(id) NodeName ..." followed by
+    # attribute lines; capture the Input line of Exchange blocks.
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for block in blocks:
+        header = block.split("\n", 1)[0]
+        if not re.match(r"\(\d+\) Exchange\b", header.strip()):
+            continue
+        cols: set[str] = set()
+        # attribute lists are flat ("Input [2]: [h1#5L, doc_id#0L]") —
+        # top-level comma split still guards names containing brackets
+        for m in re.finditer(r"Input \[\d+\]:\s*\[(.*)\]", block):
+            for field in _split_predicates(m.group(1)):
+                name = field.split("#")[0].strip()
+                if name:
+                    cols.add(name)
+        out.append(cols)
+    return out
+
+
 def python_eval_ops(df: DataFrame) -> int:
     """Arrow/pandas-UDF evaluation operators in the plan — the hot path
     should have exactly as many as the operator intends (usually ≤1)."""
