@@ -15,16 +15,19 @@ STAMP() { date -u +%H:%M:%S; }
 
 echo "$(STAMP) full bench (600s in-bench cooldown)" >> .rested_bench.log
 python bench.py > .bench_rested_r4.out 2> .bench_rested_r4.err
-echo "$(STAMP) bench rc=$?" >> .rested_bench.log
+rc=$?  # capture before $(STAMP) clobbers $?
+echo "$(STAMP) bench rc=$rc" >> .rested_bench.log
 
 echo "$(STAMP) scaling 2->8 (cooldown 540 per leg)" >> .rested_bench.log
 SPARK_SCALING_COOLDOWN_S=540 python bench.py --scaling \
   > .scaling_r4_2_8.out 2> .scaling_r4_2_8.err
-echo "$(STAMP) scaling28 rc=$?" >> .rested_bench.log
+rc=$?
+echo "$(STAMP) scaling28 rc=$rc" >> .rested_bench.log
 
 echo "$(STAMP) scaling 1->4 (cooldown 540 per leg)" >> .rested_bench.log
 SPARK_SCALING_COOLDOWN_S=540 SPARK_SCALING_LEVELS=1,4 python bench.py --scaling \
   > .scaling_r4_1_4.out 2> .scaling_r4_1_4.err
-echo "$(STAMP) scaling14 rc=$?" >> .rested_bench.log
+rc=$?
+echo "$(STAMP) scaling14 rc=$rc" >> .rested_bench.log
 
 echo "$(STAMP) ALL DONE" >> .rested_bench.log
