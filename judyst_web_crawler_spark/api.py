@@ -355,7 +355,17 @@ def fill_data_source_from_file(
     likewise one file per call, tools.py:20)."""
     from judyst_web_crawler_spark.sources import jsonio
 
-    if any(ch in path for ch in "*?[") or os.path.isdir(path):
+    # directory detection goes through Hadoop's FileSystem, not
+    # os.path.isdir: a directory handed as a file:/hdfs:/s3a: URI is
+    # invisible to the local check but would silently get the
+    # mis-ordered multi-file semantics this guard exists to reject
+    def _is_dir(p: str) -> bool:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath)) and bool(fs.getFileStatus(jpath).isDirectory())
+
+    if any(ch in path for ch in "*?[") or _is_dir(path):
         raise ValueError(
             "fill_data_source_from_file ingests a SINGLE jsonlines file "
             f"(got {path!r}): the last-record-wins ordering is only "

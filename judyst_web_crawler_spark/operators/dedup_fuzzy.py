@@ -124,6 +124,7 @@ def duplicate_ngram_spans(
     n: int = 8,
     min_docs: int = 2,
     resolve_spans: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact repeated token-n-gram spans ACROSS documents — the
     exact-substring dedup primitive (Lee et al. 2022, "Deduplicating
@@ -151,7 +152,17 @@ def duplicate_ngram_spans(
     exact-substring removal joins document windows on the same hashes,
     so the strings are never needed at scale (Lee et al.'s production
     path is suffix-array based; this is the shuffle-bounded DataFrame
-    equivalent)."""
+    equivalent).
+
+    The resolve path consumes ``groups`` twice (once to build the
+    broadcast survivor set, once as the final join's left side) — the
+    default ``materialize=True`` persists the post-filter ``groups``
+    (small: shared spans only) so the expensive explode+wide-aggregation
+    subplan executes ONCE, then checkpoints the result and releases the
+    handle (cache.checkpoint_and_release trade-offs apply).
+    ``materialize=False`` returns the fully lazy plan — composable and
+    plan-inspectable, at the cost of re-running the wide aggregation for
+    both consumers."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -175,6 +186,10 @@ def duplicate_ngram_spans(
     )
     if not resolve_spans:
         return groups
+    handles: list[DataFrame] = []
+    if materialize:
+        groups = groups.persist()
+        handles.append(groups)
     # Resolve strings for SURVIVING groups only: re-derive the windows
     # (CPU-linear, no stored intermediate), drop singletons map-side via
     # the broadcast semi join, and collapse to one string per hash pair.
@@ -187,9 +202,12 @@ def duplicate_ngram_spans(
         .groupBy("h1", "h2")
         .agg(F.min("span").alias("span"))
     )
-    return groups.join(resolved, ["h1", "h2"]).select(
+    out = groups.join(resolved, ["h1", "h2"]).select(
         "span", "n_docs", "n_occurrences", "first_doc"
     )
+    if not materialize:
+        return out
+    return checkpoint_and_release(out, handles)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -616,6 +634,15 @@ def minhash_near_duplicates(
 # wasted verify work (bounded by the re-crawl rate), never wrong output.
 
 
+def _error_condition(e: AnalysisException) -> str:
+    """Error class + message of an AnalysisException, for matching the
+    few conditions that mean 'nothing at this path' (getCondition on
+    Spark 4, getErrorClass before it)."""
+    get_cls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    cls = (get_cls() or "") if callable(get_cls) else ""
+    return f"{cls} {e}"
+
+
 def _next_index_gen(spark, path: str) -> int:
     """Next commit sequence number for ``path``'s sigs table (0 for a
     fresh index; indexes written before gen stamping count as gen 0).
@@ -624,17 +651,19 @@ def _next_index_gen(spark, path: str) -> int:
     failure on an EXISTING index (permissions, corrupt footer) must fail
     loudly, not silently alias a fresh index — a gen-0 append over live
     gen-0 rows would tie in the last-wins window and pick between stale
-    and fresh signatures nondeterministically."""
+    and fresh signatures nondeterministically.
+
+    Existence goes through Spark's reader, not os.path: the index may
+    live behind any Hadoop scheme (file:, hdfs:, s3a:), where a
+    driver-local FS check would report every path absent and stamp all
+    appends gen 0. Only the two error classes that mean "nothing here"
+    (PATH_NOT_FOUND, UNABLE_TO_INFER_SCHEMA for a footerless placeholder
+    dir) map to gen 0; any other failure propagates."""
     sigs_dir = os.path.join(path, "sigs")
-    if not os.path.exists(sigs_dir):
-        return 0
     try:
         prev = spark.read.parquet(sigs_dir)
-    except AnalysisException:
-        # path exists but holds no readable parquet footer at all —
-        # only an EMPTY placeholder dir counts as fresh; anything else
-        # (files present but unreadable) must surface
-        if not os.listdir(sigs_dir):
+    except AnalysisException as e:
+        if any(m in _error_condition(e) for m in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")):
             return 0
         raise
     if "gen" not in prev.columns:

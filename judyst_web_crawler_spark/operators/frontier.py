@@ -39,14 +39,17 @@ Scale design (10^10 URLs):
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from judyst_web_crawler_spark.functions import canonical as C
 from judyst_web_crawler_spark.functions.extraction import extract_text, extract_text_udf
+from judyst_web_crawler_spark.operators.dedup_fuzzy import minhash_index_write_sigs
 from judyst_web_crawler_spark.operators.politeness import apply_robots, budget_topk
 from judyst_web_crawler_spark.operators.seen import (
     CatalogShardedBloom,
@@ -127,12 +130,24 @@ class FrontierEngine:
         # rows to the persisted band-bucket index so near-dup queries
         # against ALL previously crawled documents never re-fingerprint
         # anything (per-wave cost: O(new × matching buckets)).
-        if minhash_index_path is not None and not fingerprint_k:
-            raise ValueError("minhash_index_path requires fingerprint_k")
-        if fingerprint_k and fingerprint_k % minhash_bands:
-            raise ValueError("minhash_bands must divide fingerprint_k")
+        if minhash_index_path is not None:
+            if not fingerprint_k:
+                raise ValueError("minhash_index_path requires fingerprint_k")
+            # bands only constrain k when an index will actually be
+            # banded — fingerprint-only engines accept any k
+            if minhash_bands <= 0 or fingerprint_k % minhash_bands:
+                raise ValueError("minhash_bands must divide fingerprint_k")
         self._minhash_index_path = minhash_index_path
         self._minhash_bands = minhash_bands
+        if minhash_index_path is not None:
+            # restart reconciliation: docs commit and index commit are
+            # separate writes, so a crash between them leaves a wave's
+            # documents permanently unindexed (silent recall loss in
+            # every later near_dups query). The wave-marker protocol
+            # (marker written AFTER sigs) makes the gap detectable and
+            # repairable here, the same once-per-engine-lifetime recovery
+            # model as _repair_partial_wave.
+            self._reconcile_minhash_index()
         self._bloom_k = bloom_k
         self._bloom_nbits = bloom_bits_for(bloom_capacity, bloom_bits_per_item)
         self._bloom: np.ndarray | None = None
@@ -312,13 +327,16 @@ class FrontierEngine:
                 on="key_hash",
                 how="left_anti",
             )
-            self.catalog.append(SEEN_TABLE, seen_rows)
-        else:
-            self.catalog.overwrite(SEEN_TABLE, seen_rows)
+        # bloom before seen — same superset-invariant ordering as the
+        # wave commit (see run_wave step 6)
         if self._sharded is not None:
             self._sharded.add_df(seen_rows)
         elif self.use_bloom:
             self._bloom_add(seen_rows)
+        if self.catalog.exists(SEEN_TABLE):
+            self.catalog.append(SEEN_TABLE, seen_rows)
+        else:
+            self.catalog.overwrite(SEEN_TABLE, seen_rows)
 
     def run_wave(
         self,
@@ -438,17 +456,8 @@ class FrontierEngine:
         # fused extract pass — committed, never recomputed; gen-stamped
         # appends give re-crawled keys last-wins at query time)
         if self._minhash_index_path is not None:
-            from judyst_web_crawler_spark.operators.dedup_fuzzy import (
-                minhash_index_write_sigs,
-            )
-
-            minhash_index_write_sigs(
-                docs_c.select("key_hash", "signature"),
-                self._minhash_index_path,
-                id_col="key_hash",
-                k=self.fingerprint_k,
-                bands=self._minhash_bands,
-                mode="append",
+            self._commit_wave_sigs_to_index(
+                docs_c.select("key_hash", "signature"), wave
             )
             mark("index_commit")
 
@@ -468,14 +477,20 @@ class FrontierEngine:
         scheduled_keys = docs_c.select(
             "key_hash", "url", F.lit(wave).alias("first_seen_wave")
         )
-        if self.catalog.exists(SEEN_TABLE):
-            self.catalog.append(SEEN_TABLE, _shrink(scheduled_keys))
-        else:
-            self.catalog.overwrite(SEEN_TABLE, _shrink(scheduled_keys))
+        # bloom BEFORE seen (the safe crash direction): the two commits
+        # are not atomic, and filter_new routes bloom-NEGATIVE rows
+        # straight past the exact anti-join — so the durable invariant
+        # must be bloom ⊇ seen. A crash after the shard commit leaves
+        # extra bits (prune cost only); a crash after a seen commit with
+        # no bits would mean seen urls re-fetched as "definitely new".
         if self._sharded is not None:
             self._sharded.add_df(scheduled_keys)
         elif self.use_bloom:
             self._bloom_add(scheduled_keys)
+        if self.catalog.exists(SEEN_TABLE):
+            self.catalog.append(SEEN_TABLE, _shrink(scheduled_keys))
+        else:
+            self.catalog.overwrite(SEEN_TABLE, _shrink(scheduled_keys))
         mark("seen_commit")
 
         # 7. done += scheduled ∪ seen-dups ∪ intra-wave dups ∪ robots-denied
@@ -579,6 +594,70 @@ class FrontierEngine:
         )
         return fetched.select(*carry, "html").mapInPandas(run, schema)
 
+    def _commit_wave_sigs_to_index(self, sigs: DataFrame, wave: int) -> None:
+        """Append one wave's pre-computed (key_hash, signature) rows to
+        the band-bucket index, then write the wave MARKER. Marker-after-
+        data is the durability protocol: a marker row proves the wave's
+        sigs landed, so ``_reconcile_minhash_index`` can detect (docs
+        committed, marker absent) and roll the index forward on restart.
+        A crash mid-append can leave partial sig rows WITHOUT a marker;
+        the reconcile re-append then duplicates those ids at a higher
+        gen — harmless, the query's last-wins window keeps one."""
+        minhash_index_write_sigs(
+            sigs,
+            self._minhash_index_path,
+            id_col="key_hash",
+            k=self.fingerprint_k,
+            bands=self._minhash_bands,
+            mode="append",
+        )
+        self.spark.createDataFrame([(wave,)], "wave int").coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(self._minhash_index_path, "waves"))
+
+    def _reconcile_minhash_index(self) -> None:
+        """Roll the index forward over waves whose documents committed
+        but whose signatures never landed (crash between the docs commit
+        and step 5b). Runs once at construction — the same restart
+        recovery model as ``_repair_partial_wave``. Also backfills a
+        catalog that predates the index (every docs wave missing a
+        marker), provided it was crawled with fingerprinting on."""
+        if not self.catalog.exists(DOCS_TABLE):
+            return
+        docs = self.catalog.read(DOCS_TABLE)
+        doc_waves = {r["wave"] for r in docs.select("wave").distinct().collect()}
+        if not doc_waves:
+            return
+        marked: set[int] = set()
+        try:
+            marked = {
+                r["wave"]
+                for r in self.spark.read.parquet(
+                    os.path.join(self._minhash_index_path, "waves")
+                ).collect()
+            }
+        except AnalysisException as e:
+            from judyst_web_crawler_spark.operators.dedup_fuzzy import _error_condition
+
+            blob = _error_condition(e)
+            if "PATH_NOT_FOUND" not in blob and "UNABLE_TO_INFER_SCHEMA" not in blob:
+                raise
+        missing = sorted(doc_waves - marked)
+        if not missing:
+            return
+        if "signature" not in docs.columns:
+            raise ValueError(
+                "minhash_index_path set over a catalog whose documents "
+                "carry no 'signature' column (crawled without "
+                "fingerprint_k) — the index cannot be backfilled without "
+                "re-fingerprinting; rebuild it explicitly with "
+                "minhash_index_write instead"
+            )
+        for w in missing:
+            self._commit_wave_sigs_to_index(
+                docs.filter(F.col("wave") == w).select("key_hash", "signature"), w
+            )
+
     def near_dups_of_wave(
         self,
         wave: int,
@@ -591,17 +670,36 @@ class FrontierEngine:
         re-fingerprinting any text: the wave's signatures come off its
         own documents rows, the prior corpus off the committed band
         index. Per-wave cost O(new × matching buckets) — the incremental
-        dedup loop a 100 TB crawl runs after every wave."""
+        dedup loop a 100 TB crawl runs after every wave.
+
+        The docs table is append-only, so a re-crawled url holds one row
+        PER crawl generation of its key_hash; the sig side of the query
+        is already deduped last-wins by gen, and the TEXT side must match
+        it — both the corpus texts and the wave's own rows are collapsed
+        to the latest generation here (window on wave desc, content-hash
+        tiebreak), or every pair touching a re-crawled id fans out into
+        duplicate rows, some exact-verified against the superseded text."""
         if self._minhash_index_path is None:
             raise ValueError("engine was built without minhash_index_path")
         from judyst_web_crawler_spark.operators.dedup_fuzzy import minhash_query_index
 
         docs = self.catalog.read(DOCS_TABLE)
-        wave_docs = docs.filter(F.col("wave") == wave)
+        latest = Window.partitionBy("key_hash").orderBy(
+            F.col("wave").desc(), F.xxhash64("text")
+        )
+        docs_latest = (
+            docs.select("key_hash", "text", "signature", "wave")
+            .withColumn("_rn", F.row_number().over(latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # filter AFTER the latest-dedupe: a wave-N row superseded by a
+        # later re-crawl is stale — its pairs are moot for the dedup loop
+        wave_docs = docs_latest.filter(F.col("wave") == wave)
         return minhash_query_index(
             wave_docs.select("key_hash", "text"),
             self._minhash_index_path,
-            docs.select("key_hash", "text"),
+            docs_latest.select("key_hash", "text"),
             id_col="key_hash",
             k=self.fingerprint_k,
             bands=self._minhash_bands,

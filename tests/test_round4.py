@@ -36,7 +36,9 @@ def test_ngram_span_shuffle_carries_hashes_not_strings(spark):
     # carry the hash key
     assert any("h1" in cols for cols in P.exchange_input_columns(hashed_only))
 
-    full = duplicate_ngram_spans(docs, n=8, min_docs=2)
+    # materialize=False: plan assertions need the lazy lineage (the
+    # default eagerly checkpoints, truncating the plan to a scan)
+    full = duplicate_ngram_spans(docs, n=8, min_docs=2, materialize=False)
     plan = P.simple_plan(full)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     # the wide (pre-filter) aggregation still exchanges hashes only: every
