@@ -506,9 +506,7 @@ def estimate_filter(
     the cutoff 0) to disable the prune and verify every LSH candidate
     exactly.
     """
-    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    joined = attach_pair_sides(pairs, signatures, id_col, "signature", "sig_a", "sig_b")
     k = F.greatest(F.size("sig_a"), F.lit(1))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
@@ -517,6 +515,48 @@ def estimate_filter(
     return joined.withColumn("_est", est).filter(
         F.col("_est") >= threshold - margin
     ).select("id_a", "id_b")
+
+
+def attach_pair_sides(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """(id_a, id_b, <out_a>, <out_b>) with the values looked up from
+    ``df`` — via ONE join, never two.
+
+    The obvious shape (alias ``df`` twice, join once per side) instantiates
+    the same lookup subtree twice in one plan. When that subtree is itself
+    exchange-heavy (the query-index path: semi-join prune + last-wins
+    row_number window), Spark 4.1.2's AQE reuses an exchange across the two
+    copies with mismatched partitioning — the window then sees one id's
+    rows split over partitions and emits a per-partition "winner", and
+    every pair touching the id fans out into duplicate result rows
+    (observed live: recrawled ids in FrontierEngine.near_dups_of_wave;
+    pinned by test_near_dups_recrawl_no_duplicate_pairs). Unpivoting to
+    one row per (pair, side) and regrouping keeps the lookup subtree
+    single-instance — immune to the misplan, and the corpus-sized exchange
+    runs once instead of twice (half the big-side shuffle volume at scale;
+    the regroup shuffles only candidate-sized pair rows).
+
+    Inner-join semantics preserved: a pair either of whose ids is absent
+    from ``df`` is dropped."""
+    sides = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
+    )
+    vals = df.select(F.col(id_col), F.col(value_col).alias("_v"))
+    return (
+        sides.join(vals, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col(id_col) == F.col("id_a"), F.col("_v"))).alias(out_a),
+            F.max(F.when(F.col(id_col) == F.col("id_b"), F.col("_v"))).alias(out_b),
+        )
+        .filter(F.col(out_a).isNotNull() & F.col(out_b).isNotNull())
+    )
 
 
 def jaccard_verify(
@@ -528,10 +568,9 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only. Shingle sets are
-    memoized per Arrow batch (candidate pairs heavily share documents)."""
-    docs_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    docs_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    joined = pairs.join(docs_a, "id_a").join(docs_b, "id_b")
+    memoized per Arrow batch (candidate pairs heavily share documents).
+    Texts attach via a single-instance corpus join (``attach_pair_sides``)."""
+    joined = attach_pair_sides(pairs, df, id_col, text_col, "text_a", "text_b")
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}
@@ -737,6 +776,7 @@ def minhash_query_index(
     margin: float | None = 0.15,
     materialize: bool = True,
     new_sigs: DataFrame | None = None,
+    corpus_latest_by: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs of NEW documents vs the committed index (plus
     new-vs-new within the batch) — identical semantics to running
@@ -757,7 +797,16 @@ def minhash_query_index(
     fingerprint pass over ``new_df`` entirely — pass it when the wave's
     signatures already exist (the frontier's fused extract+fingerprint
     stores them on the documents row): the query then runs ZERO
-    signature passes, new or corpus."""
+    signature passes, new or corpus.
+
+    ``corpus_latest_by`` (optional column name, e.g. ``"wave"``): set it
+    when ``corpus_texts`` is APPEND-ONLY and may hold one row per crawl
+    generation of an id — the verify then consumes only the LATEST text
+    per id (max ``corpus_latest_by``, content-hash tiebreak), or pairs
+    touching a re-crawled id fan out into duplicates scored against
+    superseded text. The dedupe runs AFTER pruning to candidate ids —
+    the same shape as the stored-sig path — so the last-wins window
+    shuffles candidate-sized data, never the full corpus texts."""
     spark = new_df.sparkSession
     if new_sigs is None:
         new_sigs = minhash_signatures(
@@ -789,6 +838,19 @@ def minhash_query_index(
     )
     within = minhash_lsh_candidates(new_sigs, id_col, bands=bands, rows_per_band=k // bands)
     pairs = cross.unionByName(within).distinct()
+    cand_ids = None
+    if margin is not None or corpus_latest_by is not None:
+        # the candidate-id set is consumed by the stored-sig prune and/or
+        # the corpus-text dedupe (each consumer re-runs the band join
+        # otherwise) — persist the small pair set alongside new_sigs
+        if materialize:
+            pairs = pairs.persist()
+            handles.append(pairs)
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
     if margin is not None:
         # estimate prune: new ids use the freshly computed signatures
         # (re-crawled ids may exist in both — new wins), index ids the
@@ -798,11 +860,6 @@ def minhash_query_index(
         # index, then (2) deduped last-wins by commit gen: a re-crawled
         # id has one sig row per commit, and without the dedupe the
         # estimate join fans every pair touching it into duplicates.
-        cand_ids = (
-            pairs.select(F.col("id_a").alias(id_col))
-            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
         if "gen" not in idx_sigs.columns:  # pre-gen index layout
             idx_sigs = idx_sigs.withColumn("gen", F.lit(0))
         # gen desc = last commit wins; the xxhash64(signature) secondary
@@ -821,6 +878,20 @@ def minhash_query_index(
         stored = stored.join(new_sigs.select(id_col), id_col, "left_anti")
         all_sigs = new_sigs.unionByName(stored)
         pairs = estimate_filter(pairs, all_sigs, id_col, threshold=threshold, margin=margin)
+    if corpus_latest_by is not None:
+        # append-only corpus: collapse to the latest text per CANDIDATE
+        # id before the verify joins — candidate-pruned first (map-side
+        # semi join), so the window shuffles candidate-sized rows, and
+        # the full corpus text column never crosses an exchange
+        wlat = Window.partitionBy(id_col).orderBy(
+            F.col(corpus_latest_by).desc(), F.xxhash64(text_col)
+        )
+        corpus_texts = (
+            corpus_texts.join(cand_ids, id_col, "left_semi")
+            .withColumn("_rn", F.row_number().over(wlat))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", corpus_latest_by)
+        )
     out = jaccard_verify(pairs, corpus_texts, id_col, text_col, shingle_n, threshold)
     if not materialize:
         return out

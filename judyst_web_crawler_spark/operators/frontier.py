@@ -675,31 +675,30 @@ class FrontierEngine:
         The docs table is append-only, so a re-crawled url holds one row
         PER crawl generation of its key_hash; the sig side of the query
         is already deduped last-wins by gen, and the TEXT side must match
-        it — both the corpus texts and the wave's own rows are collapsed
-        to the latest generation here (window on wave desc, content-hash
-        tiebreak), or every pair touching a re-crawled id fans out into
-        duplicate rows, some exact-verified against the superseded text."""
+        it — or every pair touching a re-crawled id fans out into
+        duplicate rows, some exact-verified against the superseded text.
+        Both dedupes stay candidate/wave-sized at 100 TB: the wave side
+        drops superseded rows via an anti-join against the (key_hash,
+        wave) columns of LATER waves only — a narrow scan, no text
+        shuffled — and the corpus side is collapsed last-wins inside
+        ``minhash_query_index`` AFTER pruning to candidate ids
+        (``corpus_latest_by``), so the full corpus text column never
+        crosses an exchange."""
         if self._minhash_index_path is None:
             raise ValueError("engine was built without minhash_index_path")
         from judyst_web_crawler_spark.operators.dedup_fuzzy import minhash_query_index
 
         docs = self.catalog.read(DOCS_TABLE)
-        latest = Window.partitionBy("key_hash").orderBy(
-            F.col("wave").desc(), F.xxhash64("text")
+        # wave-N rows superseded by a later re-crawl are stale — their
+        # pairs are moot for the dedup loop
+        superseding = docs.filter(F.col("wave") > wave).select("key_hash")
+        wave_docs = docs.filter(F.col("wave") == wave).join(
+            superseding, on="key_hash", how="left_anti"
         )
-        docs_latest = (
-            docs.select("key_hash", "text", "signature", "wave")
-            .withColumn("_rn", F.row_number().over(latest))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # filter AFTER the latest-dedupe: a wave-N row superseded by a
-        # later re-crawl is stale — its pairs are moot for the dedup loop
-        wave_docs = docs_latest.filter(F.col("wave") == wave)
         return minhash_query_index(
             wave_docs.select("key_hash", "text"),
             self._minhash_index_path,
-            docs_latest.select("key_hash", "text"),
+            docs.select("key_hash", "text", "wave"),
             id_col="key_hash",
             k=self.fingerprint_k,
             bands=self._minhash_bands,
@@ -707,6 +706,7 @@ class FrontierEngine:
             margin=margin,
             materialize=materialize,
             new_sigs=wave_docs.select("key_hash", "signature"),
+            corpus_latest_by="wave",
         )
 
     def discover_and_enqueue(self, pages: DataFrame, depth: int) -> int:

@@ -488,9 +488,13 @@ def embedding_near_duplicates(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    joined = pairs.join(va, "id_a").join(vb, "id_b")
+    # single-instance vector lookup: one join + regroup instead of two
+    # aliased joins — halves the embeddings exchange and avoids the AQE
+    # exchange-reuse misplan a twice-instantiated lookup subtree can
+    # trigger (see dedup_fuzzy.attach_pair_sides)
+    from judyst_web_crawler_spark.operators.dedup_fuzzy import attach_pair_sides
+
+    joined = attach_pair_sides(pairs, df, id_col, vec_col, "vec_a", "vec_b")
     denom = l2_norm("vec_a") * l2_norm("vec_b")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot_product("vec_a", "vec_b") / denom)
     out = joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(

@@ -127,15 +127,16 @@ def test_index_query_plan_has_no_full_corpus_signature_pass(spark, tmp_path):
     )
     # the committed index IS read...
     assert "idx/bands" in plan
-    # ...and the corpus appears exactly twice: the verify join's two
-    # candidate-keyed text lookups (id_a side + id_b side). A corpus-wide
+    # ...and the corpus appears exactly ONCE: the verify attaches both
+    # pair sides through a single candidate-keyed text lookup
+    # (attach_pair_sides — unpivot + one join + regroup). A corpus-wide
     # Arrow signature pass (what the batch path runs) would require a
-    # THIRD corpus scan to feed it — two scans proves the corpus is never
+    # SECOND corpus scan to feed it — one scan proves the corpus is never
     # re-fingerprinted. (The wave's own signature subplan DOES reprint
     # several times in this fully-lazy plan — materialize=False persists
     # nothing by contract — but it reads only Scan ExistingRDD, the
     # in-memory wave, never the corpus parquet.)
-    assert plan.count(corpus_path) == 2
+    assert plan.count(corpus_path) == 1
     assert "Scan ExistingRDD" in plan
     # nothing persisted while merely building the plan
     assert "InMemoryRelation" not in plan

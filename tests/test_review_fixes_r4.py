@@ -232,3 +232,104 @@ def test_fill_data_source_rejects_uri_directory(spark, tmp_path):
         api.fill_data_source_from_file(
             spark, "file://" + str(d), target, api.DataType.DOCUMENT_HEADER
         )
+
+
+# --------------------------- corpus dedupe stays candidate-sized at scale
+
+
+def test_near_dups_corpus_dedupe_is_candidate_pruned(spark, tmp_path):
+    """The last-wins dedupes inside near_dups_of_wave must operate on
+    CANDIDATE-pruned rows, never on the raw corpus: in the optimized
+    logical plan, every row_number Window (stored-sig last-wins AND
+    corpus-text last-wins) must consume a LeftSemi-joined input — the
+    100 TB guarantee that the full corpus text column never crosses an
+    exchange. (Catalyst additionally pushes the semi join below the
+    docs-table union and inserts WindowGroupLimit, a map-side top-1
+    pre-prune — both visible in this plan shape.)"""
+    eng, cat, pages = _seeded_engine(
+        spark, tmp_path, fingerprint_k=64,
+        minhash_index_path=str(tmp_path / "idx"),
+    )
+    stats = eng.run(pages, budget=10, max_waves=10)
+    pairs = eng.near_dups_of_wave(
+        stats[-1]["wave"], threshold=0.5, materialize=False
+    )
+    lines = (
+        pairs._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    )
+    windows = [
+        i for i, l in enumerate(lines)
+        if "Window [row_number()" in l
+    ]
+    assert windows, "expected last-wins Window nodes in the plan"
+    for i in windows:
+        lookahead = lines[i + 1 : i + 12]
+        assert any("Join LeftSemi" in l for l in lookahead), (
+            f"Window at plan line {i} consumes un-pruned input:\n"
+            + "\n".join(x.strip()[:100] for x in lookahead)
+        )
+    pages.unpersist()
+
+
+# ------------------- AQE exchange-reuse fan-out (single-instance verify)
+
+
+def test_near_dups_recrawl_no_duplicate_pairs(spark, tmp_path):
+    """End-to-end pin for the AQE exchange-reuse misplan: planted clone
+    pages crawled, then re-crawled (two docs/index generations per id),
+    then near_dups_of_wave with DEFAULT session configs (AQE + exchange
+    reuse ON). Before jaccard_verify/estimate_filter attached pair sides
+    via a SINGLE corpus join (attach_pair_sides), Spark 4.1.2 reused an
+    exchange across the two window-over-semi-join corpus branches with
+    mismatched partitioning — the last-wins row_number emitted one winner
+    PER PARTITION and pairs touching re-crawled ids duplicated (observed:
+    16 rows / 4 dups where 12 unique pairs exist)."""
+    from judyst_web_crawler_spark.datagen import pages_df
+    from judyst_web_crawler_spark.operators.frontier import FrontierEngine
+    from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
+
+    pages = pages_df(spark, n_rows=60, n_hosts=4, seed=7).cache()
+    rows = pages.orderBy("url").collect()
+    n_clones = 6
+    clone_urls = [rows[-(i + 1)]["url"] for i in range(n_clones)]
+    planted = [(rows[-(i + 1)]["url"], rows[i]["html"]) for i in range(n_clones)]
+    pl = spark.createDataFrame(planted, ["url", "html2"])
+    other = [c for c in pages.columns if c not in ("url", "html")]
+    pages = (
+        pages.alias("p")
+        .join(pl.alias("x"), "url", "left")
+        .select("url", F.coalesce("x.html2", "p.html").alias("html"), *other)
+        .cache()
+    )
+    w = Window.orderBy("url")
+    seeds = (
+        pages.select("url")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "url",
+            F.lit(2).alias("page_seq"),
+            F.col("_rn").cast("int").alias("intra_page_seq"),
+        )
+    )
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    eng = FrontierEngine(
+        spark, cat, fingerprint_k=64, minhash_index_path=str(tmp_path / "idx")
+    )
+    eng.bootstrap(seeds)
+    eng.run(pages, budget=100, n_salts=2)
+    recrawl = pages.filter(F.col("url").isin(clone_urls)).select("url", "warc_ts")
+    eng.enqueue_recrawl(recrawl, now=4_000_000_000, per_host_k=n_clones)
+    stats2 = eng.run(pages, budget=100, n_salts=2)
+    last2 = stats2[-1]["wave"]
+    for materialize in (False, True):
+        got = eng.near_dups_of_wave(
+            last2, threshold=0.5, materialize=materialize
+        ).collect()
+        keys = [(r["id_a"], r["id_b"]) for r in got]
+        assert len(keys) == len(set(keys)), (
+            f"duplicate pairs (materialize={materialize}): {sorted(keys)}"
+        )
+        # every clone↔original pair found exactly once, byte-identical text
+        assert len(keys) == n_clones
+        assert all(r["jaccard"] == 1.0 for r in got)
+    pages.unpersist()
