@@ -200,3 +200,39 @@ def test_duplicate_ngram_spans_counts_and_guards(spark):
     assert set(got) == interior
     # docs 1, 2, 5 carry each interior span; doc 5 twice -> 4 occurrences
     assert all(v == (3, 4, 1) for v in got.values()), got
+
+
+def test_attach_pair_sides_matches_naive_double_join(spark):
+    """attach_pair_sides (unpivot → ONE lookup join → regroup; the
+    AQE-safe shape) must be row-for-row equivalent to the naive
+    double-aliased join on arbitrary inputs: ids missing from the lookup
+    drop the pair (inner semantics), present ids attach each side's
+    value. Seeded sweep over pair sets including ids absent from the
+    lookup and lookup rows never referenced."""
+    import random
+
+    rng = random.Random(417)
+    for trial in range(3):
+        ids = list(range(40))
+        lookup_rows = [(i, f"value-{i}-{rng.randrange(999)}") for i in ids if rng.random() < 0.8]
+        pair_rows = list(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(48), 2)) for _ in range(60)
+                )  # ids 40-47 never in the lookup
+            }
+        )
+        lookup = spark.createDataFrame(lookup_rows, "doc_id long, text string")
+        pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+        got = {
+            (r["id_a"], r["id_b"], r["va"], r["vb"])
+            for r in D.attach_pair_sides(pairs, lookup, "doc_id", "text", "va", "vb").collect()
+        }
+        la = lookup.select(F.col("doc_id").alias("id_a"), F.col("text").alias("va"))
+        lb = lookup.select(F.col("doc_id").alias("id_b"), F.col("text").alias("vb"))
+        want = {
+            (r["id_a"], r["id_b"], r["va"], r["vb"])
+            for r in pairs.join(la, "id_a").join(lb, "id_b").collect()
+        }
+        assert got == want, f"trial {trial}: {got ^ want}"
