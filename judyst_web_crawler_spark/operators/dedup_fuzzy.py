@@ -542,8 +542,16 @@ def attach_pair_sides(
     runs once instead of twice (half the big-side shuffle volume at scale;
     the regroup shuffles only candidate-sized pair rows).
 
-    Inner-join semantics preserved: a pair either of whose ids is absent
-    from ``df`` is dropped."""
+    Semantics vs the naive double join — identical when ``df`` has ONE
+    non-null value per id (every internal caller: signatures/corpora are
+    deduped upstream, the query-index path via ``corpus_latest_by``). A
+    pair either of whose ids is absent from ``df`` is dropped (inner
+    semantics). Divergences, pinned in
+    test_attach_pair_sides_matches_naive_double_join: duplicate rows per
+    id COLLAPSE to the max value (the double join would fan the pair out
+    into one row per combination — callers must dedupe first; pass
+    ``corpus_latest_by`` on append-only corpora), and a NULL value drops
+    the pair (the double join would carry the NULL through)."""
     sides = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
@@ -567,9 +575,17 @@ def jaccard_verify(
     shingle_n: int = 5,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard on candidate pairs only. Shingle sets are
-    memoized per Arrow batch (candidate pairs heavily share documents).
-    Texts attach via a single-instance corpus join (``attach_pair_sides``)."""
+    """Exact shingle-set Jaccard on candidate pairs only. Texts attach via
+    a single-instance corpus join (``attach_pair_sides``).
+
+    Shingle sets are memoized per PARTITION (the dict outlives Arrow
+    batches). The regroup hash-partitions pairs by (id_a, id_b), so a
+    document in m pairs is shingled in up to min(m, n_partitions)
+    partitions — the pre-attach layout clustered the id_b side into one
+    partition (one shingle pass) but scattered id_a identically, and
+    cost the corpus exchange twice; re-clustering post-regroup would
+    mean one more exchange of full pair texts, a worse trade than
+    min(m, P) re-shingles of the hot docs."""
     joined = attach_pair_sides(pairs, df, id_col, text_col, "text_a", "text_b")
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -884,7 +900,11 @@ def minhash_query_index(
         # semi join), so the window shuffles candidate-sized rows, and
         # the full corpus text column never crosses an exchange
         wlat = Window.partitionBy(id_col).orderBy(
-            F.col(corpus_latest_by).desc(), F.xxhash64(text_col)
+            # .desc() matches the stored-sig window's tiebreak DIRECTION
+            # (max-hash wins on a generation tie, line ~870) so the
+            # estimate prune and the exact verify resolve a tied id the
+            # same way instead of one picking min-hash and one max-hash
+            F.col(corpus_latest_by).desc(), F.xxhash64(text_col).desc()
         )
         corpus_texts = (
             corpus_texts.join(cand_ids, id_col, "left_semi")

@@ -236,3 +236,19 @@ def test_attach_pair_sides_matches_naive_double_join(spark):
             for r in pairs.join(la, "id_a").join(lb, "id_b").collect()
         }
         assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_attach_pair_sides_divergence_cases_pinned(spark):
+    """Where the helper deliberately diverges from the naive double join
+    (documented in its docstring): duplicate rows per lookup id COLLAPSE
+    to the max value instead of fanning the pair out, and a NULL value
+    drops the pair instead of carrying NULL through."""
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    lookup = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = D.attach_pair_sides(pairs, lookup, "doc_id", "text", "va", "vb").collect()
+    # pair (1,2): id 1 has two rows -> ONE output row with max("a1","a2")
+    # pair (3,4): id 4's value is NULL -> dropped
+    assert [(r["id_a"], r["id_b"], r["va"], r["vb"]) for r in rows] == [(1, 2, "a2", "b")]
