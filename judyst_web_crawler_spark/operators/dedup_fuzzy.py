@@ -40,6 +40,16 @@ log = logging.getLogger(__name__)
 _checkpoint_and_release = checkpoint_and_release
 
 
+def _id_derived_schema(df: DataFrame, id_cols: list[str], extra_fields: list):
+    """Arrow-kernel output schema whose id fields keep their INPUT types
+    (string/int doc ids pass through instead of failing a hardcoded long
+    cast — the module-wide type contract), followed by ``extra_fields``
+    (StructFields)."""
+    from pyspark.sql.types import StructType
+
+    return StructType([df.schema[c] for c in id_cols] + list(extra_fields))
+
+
 def _cap_hot_buckets(
     rows: DataFrame,
     key_cols: list[str],
@@ -306,8 +316,13 @@ def minhash_signatures(
                 sigs.append(sig.astype(np.int64))
             yield pd.DataFrame({id_col: ids, "signature": sigs})
 
-    out_schema = f"{id_col} long, signature array<long>"
-    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+    from pyspark.sql.types import ArrayType, LongType, StructField
+
+    selected = df.select(id_col, text_col)
+    out_schema = _id_derived_schema(
+        selected, [id_col], [StructField("signature", ArrayType(LongType()))]
+    )
+    return selected.mapInPandas(compute, out_schema)
 
 
 MINHASH_JVM_P = 2_147_483_647  # 2^31-1 (prime); a*x stays < 2^62 — no
@@ -551,7 +566,10 @@ def attach_pair_sides(
     id COLLAPSE to the max value (the double join would fan the pair out
     into one row per combination — callers must dedupe first; pass
     ``corpus_latest_by`` on append-only corpora), and a NULL value drops
-    the pair (the double join would carry the NULL through)."""
+    the pair (the double join would carry the NULL through). Duplicate
+    identical PAIR rows likewise collapse to one via the regroup —
+    candidate pairs are distinct upstream (band joins dedupe), and
+    one-row-per-pair is what every verifier wants."""
     sides = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
@@ -610,7 +628,12 @@ def jaccard_verify(
                 jac.append(inter / union if union else 0.0)
             yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac})
 
-    out = joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    from pyspark.sql.types import DoubleType, StructField
+
+    out_schema = _id_derived_schema(
+        joined, ["id_a", "id_b"], [StructField("jaccard", DoubleType())]
+    )
+    out = joined.mapInPandas(verify, out_schema)
     return out.filter(F.col("jaccard") >= threshold)
 
 
@@ -900,10 +923,19 @@ def minhash_query_index(
         # semi join), so the window shuffles candidate-sized rows, and
         # the full corpus text column never crosses an exchange
         wlat = Window.partitionBy(id_col).orderBy(
-            # .desc() matches the stored-sig window's tiebreak DIRECTION
-            # (max-hash wins on a generation tie, line ~870) so the
-            # estimate prune and the exact verify resolve a tied id the
-            # same way instead of one picking min-hash and one max-hash
+            # deterministic tiebreak on a latest_by tie. NOTE: this hashes
+            # the TEXT while the stored-sig window (above) hashes the
+            # SIGNATURE — different values, so on a simultaneous tie in
+            # BOTH tables (same id, equal gen sig rows AND equal
+            # latest_by text rows) the two windows may pick rows from
+            # different generations: the estimate could prune on gen-1's
+            # signature where gen-2's text would have verified. True
+            # cross-table consistency needs a shared per-row key (e.g. a
+            # stored xxhash64(text) column in the index). Reachability:
+            # the engine path stamps strictly increasing gens per commit
+            # (minhash_index_write_sigs), so equal-gen duplicates — and
+            # with them this divergence — arise only on legacy pre-gen
+            # index data appended twice for one id.
             F.col(corpus_latest_by).desc(), F.xxhash64(text_col).desc()
         )
         corpus_texts = (
@@ -979,8 +1011,18 @@ def combined_fingerprints(
                 sims.append(sim)
             yield pd.DataFrame({id_col: ids, "signature": sigs, "simhash": sims})
 
-    out_schema = f"{id_col} long, signature array<long>, simhash long"
-    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+    from pyspark.sql.types import ArrayType, LongType, StructField
+
+    selected = df.select(id_col, text_col)
+    out_schema = _id_derived_schema(
+        selected,
+        [id_col],
+        [
+            StructField("signature", ArrayType(LongType())),
+            StructField("simhash", LongType()),
+        ],
+    )
+    return selected.mapInPandas(compute, out_schema)
 
 
 # -------------------------------------------------------------- simhash
@@ -1008,7 +1050,13 @@ def simhash_signatures(
                 ids.append(i)
             yield pd.DataFrame({id_col: ids, "simhash": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(compute, f"{id_col} long, simhash long")
+    from pyspark.sql.types import LongType, StructField
+
+    selected = df.select(id_col, text_col)
+    out_schema = _id_derived_schema(
+        selected, [id_col], [StructField("simhash", LongType())]
+    )
+    return selected.mapInPandas(compute, out_schema)
 
 
 def simhash_near_duplicates(

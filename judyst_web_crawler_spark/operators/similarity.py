@@ -72,6 +72,17 @@ def brute_force_topk(
 # ----------------------------------------------------------------- LSH
 
 
+def _derived_schema(df: DataFrame, carry_cols: list[str], extra_fields: list) -> "StructType":
+    """Output StructType for an Arrow kernel: ``carry_cols`` keep their
+    INPUT field types (string/int ids, float32/float64 embeddings pass
+    through rather than failing a hardcoded cast — one type contract for
+    every mapInPandas in this module), followed by ``extra_fields``."""
+    from pyspark.sql.types import StructType
+
+    in_schema = df.schema
+    return StructType([in_schema[c] for c in carry_cols] + list(extra_fields))
+
+
 def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int) -> np.ndarray:
     """(n_tables, bits, dim) deterministic pseudo-gaussian hyperplanes
     via seeded Generator — same planes on every executor."""
@@ -114,9 +125,14 @@ def lsh_signatures(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        compute, f"{id_col} long, table int, bucket long"
+    from pyspark.sql.types import IntegerType, LongType, StructField
+
+    out_schema = _derived_schema(
+        df.select(id_col, vec_col),
+        [id_col],
+        [StructField("table", IntegerType()), StructField("bucket", LongType())],
     )
+    return df.select(id_col, vec_col).mapInPandas(compute, out_schema)
 
 
 def arith_hyperplanes(dim: int, n_tables: int, bits: int) -> list[list[list[float]]]:
@@ -231,13 +247,8 @@ def ann_candidates(
             if hit.any():
                 yield sub.loc[sub.index[hit], [id_col, vec_col]]
 
-    # output schema derives from the INPUT schema (not hardcoded
-    # long/array<double>): string doc ids and float32 embeddings keep
-    # their types, matching the engine='jvm' path's type contract
-    from pyspark.sql.types import StructType
-
-    in_schema = df.select(id_col, vec_col).schema
-    out_schema = StructType([in_schema[id_col], in_schema[vec_col]])
+    # matches the engine='jvm' path's type contract (_derived_schema)
+    out_schema = _derived_schema(df.select(id_col, vec_col), [id_col, vec_col], [])
     return df.select(id_col, vec_col).mapInPandas(compute, out_schema)
 
 
@@ -343,9 +354,9 @@ def ivf_assign(
     batch against the broadcast centroid matrix. At 100 TB this is the
     one full pass; probes then touch only nprobe/n_cells of the data
     (write the output bucketed by ``cell`` for partition pruning).
-    ``include_vec`` carries the vector through the same pass (as
-    array<double>) so index builds need no post-assignment join back to
-    the vector table."""
+    ``include_vec`` carries the vector through the same pass — keeping
+    its INPUT element type (float32 stays float32) — so index builds
+    need no post-assignment join back to the vector table."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids.astype(np.float64))
 
@@ -361,12 +372,14 @@ def ivf_assign(
                 out[vec_col] = pdf[vec_col]
             yield pd.DataFrame(out)
 
-    schema = (
-        f"{id_col} long, cell int, {vec_col} array<double>"
-        if include_vec
-        else f"{id_col} long, cell int"
-    )
-    return df.select(id_col, vec_col).mapInPandas(compute, schema)
+    from pyspark.sql.types import IntegerType, StructField
+
+    selected = df.select(id_col, vec_col)
+    extra = [StructField("cell", IntegerType())]
+    if include_vec:
+        extra.append(selected.schema[vec_col])  # carried with its input type
+    out_schema = _derived_schema(selected, [id_col], extra)
+    return selected.mapInPandas(compute, out_schema)
 
 
 def ivf_topk(

@@ -414,3 +414,70 @@ def test_engine_incremental_minhash_index_across_waves(spark, tmp_path):
     wave2 = {u for u in url_of.values() if u in
              {"http://h.ru/doc4.htm", "http://h.ru/doc5.htm", "http://h.ru/doc6.htm"}}
     assert all(p & wave2 for p in pairs)
+
+
+def test_lsh_signatures_and_ivf_assign_preserve_input_types(spark):
+    """lsh_signatures and ivf_assign follow the same derive-from-input
+    type contract as ann_candidates: string ids (and a float32 vec
+    carried by include_vec) round-trip instead of failing a hardcoded
+    long/array<double> cast."""
+    import numpy as np
+
+    from judyst_web_crawler_spark.operators.similarity import (
+        ivf_assign,
+        lsh_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", [float(i % 3), 1.0, -1.0, 0.5]) for i in range(12)],
+        "vec_id string, embedding array<float>",
+    )
+
+    sigs = lsh_signatures(df, dim=4, n_tables=2, bits=4)
+    assert [f.dataType.simpleString() for f in sigs.schema.fields] == [
+        "string",
+        "int",
+        "bigint",
+    ]
+    got = sigs.collect()
+    assert len(got) == 24 and all(r["vec_id"].startswith("doc-") for r in got)
+
+    cents = np.array([[0.0, 1.0, -1.0, 0.5], [2.0, 1.0, -1.0, 0.5]])
+    assigned = ivf_assign(df, cents, include_vec=True)
+    assert [f.dataType.simpleString() for f in assigned.schema.fields] == [
+        "string",
+        "int",
+        "array<float>",
+    ]
+    rows = assigned.collect()
+    assert len(rows) == 12 and {r["cell"] for r in rows} == {0, 1}
+
+
+def test_minhash_near_duplicates_string_ids_end_to_end(spark):
+    """The full minhash pipeline (signatures → band join → estimate
+    prune → attach_pair_sides → jaccard_verify) runs on STRING doc ids:
+    every Arrow kernel's output schema derives from its input
+    (previously jaccard_verify hardcoded id_a/id_b as long and crashed
+    the verify stage on the first action)."""
+    from judyst_web_crawler_spark.operators.dedup_fuzzy import (
+        minhash_near_duplicates,
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        ("url-a", base),
+        ("url-b", base + "tail"),  # near-dup of url-a
+        ("url-c", "completely different text about spark catalyst plans " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    sigs = minhash_signatures(df)
+    assert sigs.schema["doc_id"].dataType.simpleString() == "string"
+    sims = simhash_signatures(df)
+    assert sims.schema["doc_id"].dataType.simpleString() == "string"
+
+    pairs = minhash_near_duplicates(df, threshold=0.5, materialize=False)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {("url-a", "url-b")}
