@@ -252,7 +252,14 @@ def run_scaling() -> dict:
             prev = results.get(cpus)
             if prev is None or got["urls_per_sec"] > prev["urls_per_sec"]:
                 results[cpus] = got
-    lo, hi = levels[0], levels[-1]
+    # lo/hi by numeric value, not list position: SPARK_SCALING_LEVELS
+    # also controls EXECUTION order (e.g. "8,2" measures the high leg
+    # first, on the coldest box — the high-parallelism leg is the
+    # thermally sensitive one; BASELINE.md round-4 table: low legs are
+    # ±3% across samples, high legs ±13%), while the efficiency ratio
+    # always divides high by low.
+    lo = min(levels, key=int)
+    hi = max(levels, key=int)
     ratio = int(hi) / int(lo)
     tn = results[lo]["urls_per_sec"]
     t4n = results[hi]["urls_per_sec"]
