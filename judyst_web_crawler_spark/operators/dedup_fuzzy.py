@@ -41,10 +41,11 @@ _checkpoint_and_release = checkpoint_and_release
 
 
 def _id_derived_schema(df: DataFrame, id_cols: list[str], extra_fields: list):
-    """Arrow-kernel output schema whose id fields keep their INPUT types
-    (string/int doc ids pass through instead of failing a hardcoded long
-    cast — the module-wide type contract), followed by ``extra_fields``
-    (StructFields)."""
+    """Arrow-kernel output schema whose carried fields keep their INPUT
+    types (string/int doc ids, float32/float64 embeddings pass through
+    instead of failing a hardcoded cast — the package-wide type contract
+    for every mapInPandas kernel; similarity.py imports this as
+    ``_derived_schema``), followed by ``extra_fields`` (StructFields)."""
     from pyspark.sql.types import StructType
 
     return StructType([df.schema[c] for c in id_cols] + list(extra_fields))
@@ -562,26 +563,74 @@ def attach_pair_sides(
     deduped upstream, the query-index path via ``corpus_latest_by``). A
     pair either of whose ids is absent from ``df`` is dropped (inner
     semantics). Divergences, pinned in
-    test_attach_pair_sides_matches_naive_double_join: duplicate rows per
-    id COLLAPSE to the max value (the double join would fan the pair out
-    into one row per combination — callers must dedupe first; pass
-    ``corpus_latest_by`` on append-only corpora), and a NULL value drops
-    the pair (the double join would carry the NULL through). Duplicate
-    identical PAIR rows likewise collapse to one via the regroup —
-    candidate pairs are distinct upstream (band joins dedupe), and
-    one-row-per-pair is what every verifier wants."""
+    test_attach_pair_sides_matches_naive_double_join /
+    test_attach_pair_sides_divergence_cases_pinned: an all-NULL value
+    drops the pair (the double join would carry the NULL through);
+    duplicate lookup rows with the SAME value collapse to one row (the
+    double join would fan the pair out); duplicate lookup rows with
+    CONFLICTING values — or NULL mixed with non-NULL — RAISE at
+    execution instead of silently scoring the pair against an arbitrary
+    generation's value (append-only corpora must be collapsed first,
+    e.g. via ``corpus_latest_by``; the conflict check rides the same
+    hash aggregate, no extra shuffle). Duplicate identical PAIR rows
+    collapse to one via the regroup — candidate pairs are distinct
+    upstream (band joins dedupe), and one-row-per-pair is what every
+    verifier wants. ``value_col`` must be an orderable type (string /
+    binary / numeric / array — everything the verifiers attach); maps
+    would fail the min/max uniformity check at analysis time."""
+    # "_side_id", not id_col, as the exploded alias: a caller whose
+    # id_col is literally "id_a"/"id_b" must not collide with the pair
+    # columns (AMBIGUOUS_REFERENCE at plan time otherwise).
     sides = pairs.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_side_id")
     )
-    vals = df.select(F.col(id_col), F.col(value_col).alias("_v"))
-    return (
-        sides.join(vals, id_col)
+    vals = df.select(F.col(id_col).alias("_side_id"), F.col(value_col).alias("_v"))
+    is_a = F.col("_side_id") == F.col("id_a")
+    is_b = F.col("_side_id") == F.col("id_b")
+    va, vb = F.when(is_a, F.col("_v")), F.when(is_b, F.col("_v"))
+    grouped = (
+        sides.join(vals, "_side_id")
         .groupBy("id_a", "id_b")
         .agg(
-            F.max(F.when(F.col(id_col) == F.col("id_a"), F.col("_v"))).alias(out_a),
-            F.max(F.when(F.col(id_col) == F.col("id_b"), F.col("_v"))).alias(out_b),
+            F.max(va).alias(out_a),
+            F.max(vb).alias(out_b),
+            F.min(va).alias("_lo_a"),
+            F.min(vb).alias("_lo_b"),
+            F.count(F.when(is_a, F.lit(1))).alias("_n_a"),
+            F.count(F.when(is_b, F.lit(1))).alias("_n_b"),
+            F.count(va).alias("_nv_a"),
+            F.count(vb).alias("_nv_b"),
         )
+    )
+
+    def _uniform(n: str, nv: str, lo: str, hi: str) -> F.Column:
+        # a side is clean iff its matched lookup rows are all NULL
+        # (pair drops below) or all equal and non-NULL; 0 < nv < n is
+        # the NULL/non-NULL mix, lo != hi the conflicting-values case
+        return (F.col(nv) == 0) | (
+            (F.col(nv) == F.col(n)) & F.col(lo).eqNullSafe(F.col(hi))
+        )
+
+    ok = _uniform("_n_a", "_nv_a", "_lo_a", out_a) & _uniform(
+        "_n_b", "_nv_b", "_lo_b", out_b
+    )
+    msg = F.concat_ws(
+        " ",
+        F.lit(
+            "attach_pair_sides: conflicting lookup rows (different values,"
+            " or NULL mixed with non-NULL) for an id of pair"
+        ),
+        F.col("id_a").cast("string"),
+        F.col("id_b").cast("string"),
+        F.lit("- collapse df to one row per id first (corpus_latest_by)"),
+    )
+    # assert_true lives in a filter so the optimizer cannot prune it as
+    # an unused projection; it returns NULL (isNull -> keep) on clean
+    # rows and raises on the first conflicting one
+    return (
+        grouped.filter(F.assert_true(ok, msg).isNull())
         .filter(F.col(out_a).isNotNull() & F.col(out_b).isNotNull())
+        .select("id_a", "id_b", out_a, out_b)
     )
 
 

@@ -72,15 +72,15 @@ def brute_force_topk(
 # ----------------------------------------------------------------- LSH
 
 
-def _derived_schema(df: DataFrame, carry_cols: list[str], extra_fields: list) -> "StructType":
-    """Output StructType for an Arrow kernel: ``carry_cols`` keep their
-    INPUT field types (string/int ids, float32/float64 embeddings pass
-    through rather than failing a hardcoded cast — one type contract for
-    every mapInPandas in this module), followed by ``extra_fields``."""
-    from pyspark.sql.types import StructType
-
-    in_schema = df.schema
-    return StructType([in_schema[c] for c in carry_cols] + list(extra_fields))
+# one implementation of the derive-output-schema-from-input-types
+# contract for every Arrow kernel in the package (same unification as
+# cache.py's persist/release protocol — it briefly existed twice, here
+# and in dedup_fuzzy); attach_pair_sides rides along for the
+# single-instance pair-side lookup below
+from judyst_web_crawler_spark.operators.dedup_fuzzy import (  # noqa: E402
+    _id_derived_schema as _derived_schema,
+    attach_pair_sides,
+)
 
 
 def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int) -> np.ndarray:
@@ -505,8 +505,6 @@ def embedding_near_duplicates(
     # aliased joins — halves the embeddings exchange and avoids the AQE
     # exchange-reuse misplan a twice-instantiated lookup subtree can
     # trigger (see dedup_fuzzy.attach_pair_sides)
-    from judyst_web_crawler_spark.operators.dedup_fuzzy import attach_pair_sides
-
     joined = attach_pair_sides(pairs, df, id_col, vec_col, "vec_a", "vec_b")
     denom = l2_norm("vec_a") * l2_norm("vec_b")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot_product("vec_a", "vec_b") / denom)

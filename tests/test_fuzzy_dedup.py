@@ -240,15 +240,46 @@ def test_attach_pair_sides_matches_naive_double_join(spark):
 
 def test_attach_pair_sides_divergence_cases_pinned(spark):
     """Where the helper deliberately diverges from the naive double join
-    (documented in its docstring): duplicate rows per lookup id COLLAPSE
-    to the max value instead of fanning the pair out, and a NULL value
-    drops the pair instead of carrying NULL through."""
+    (documented in its docstring): duplicate IDENTICAL lookup rows
+    collapse to one output row instead of fanning the pair out, an
+    all-NULL value drops the pair instead of carrying NULL through, and
+    CONFLICTING lookup rows for an id (different values, or NULL mixed
+    with non-NULL) raise at execution instead of silently attaching an
+    arbitrary generation's value."""
+    import pytest
+
     pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
     lookup = spark.createDataFrame(
-        [(1, "a1"), (1, "a2"), (2, "b"), (3, "c"), (4, None)],
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (4, None)],
         "doc_id long, text string",
     )
     rows = D.attach_pair_sides(pairs, lookup, "doc_id", "text", "va", "vb").collect()
-    # pair (1,2): id 1 has two rows -> ONE output row with max("a1","a2")
-    # pair (3,4): id 4's value is NULL -> dropped
-    assert [(r["id_a"], r["id_b"], r["va"], r["vb"]) for r in rows] == [(1, 2, "a2", "b")]
+    # pair (1,2): id 1 has two IDENTICAL rows -> ONE output row
+    # pair (3,4): id 4's only value is NULL -> dropped
+    assert [(r["id_a"], r["id_b"], r["va"], r["vb"]) for r in rows] == [(1, 2, "a", "b")]
+
+    # conflicting duplicate values: the silent-collapse corruption case
+    # (append-only corpus, stale vs fresh generation) must raise
+    conflict = spark.createDataFrame(
+        [(1, "stale"), (1, "fresh"), (2, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="attach_pair_sides"):
+        D.attach_pair_sides(pairs, conflict, "doc_id", "text", "va", "vb").collect()
+
+    # NULL mixed with non-NULL for one id: neither "drop" nor "attach"
+    # is defensible -> also a loud failure
+    mixed = spark.createDataFrame(
+        [(1, None), (1, "late"), (2, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="attach_pair_sides"):
+        D.attach_pair_sides(pairs, mixed, "doc_id", "text", "va", "vb").collect()
+
+
+def test_attach_pair_sides_id_col_named_like_pair_columns(spark):
+    """A lookup id column literally named ``id_a`` (the helper's own
+    output convention, so a plausible caller choice) must not collide
+    with the pair columns: the exploded side id uses a private alias."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    lookup = spark.createDataFrame([(1, "x"), (2, "y")], "id_a long, text string")
+    rows = D.attach_pair_sides(pairs, lookup, "id_a", "text", "va", "vb").collect()
+    assert [(r["id_a"], r["id_b"], r["va"], r["vb"]) for r in rows] == [(1, 2, "x", "y")]
