@@ -275,6 +275,40 @@ def test_attach_pair_sides_divergence_cases_pinned(spark):
         D.attach_pair_sides(pairs, mixed, "doc_id", "text", "va", "vb").collect()
 
 
+def test_attach_pair_sides_conflict_check_adds_no_shuffle(spark):
+    """The conflict-uniformity aggregates (min/count per side) must ride
+    the regroup's existing hash aggregate: the physical plan of the
+    checked helper has exactly as many Exchange nodes as the check-free
+    unpivot -> join -> max-only regroup shape."""
+    import re
+
+    from judyst_web_crawler_spark.plans.inspect import formatted_plan
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    lookup = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 5)], "doc_id long, text string"
+    )
+    checked = D.attach_pair_sides(pairs, lookup, "doc_id", "text", "va", "vb")
+    sides = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_side_id")
+    )
+    vals = lookup.select(F.col("doc_id").alias("_side_id"), F.col("text").alias("_v"))
+    bare = (
+        sides.join(vals, "_side_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_side_id") == F.col("id_a"), F.col("_v"))).alias("va"),
+            F.max(F.when(F.col("_side_id") == F.col("id_b"), F.col("_v"))).alias("vb"),
+        )
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+
+    def n_exchanges(df):
+        return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+    assert n_exchanges(checked) == n_exchanges(bare)
+
+
 def test_attach_pair_sides_id_col_named_like_pair_columns(spark):
     """A lookup id column literally named ``id_a`` (the helper's own
     output convention, so a plausible caller choice) must not collide
