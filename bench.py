@@ -198,8 +198,14 @@ def run_scaling() -> dict:
     bandwidth ceiling, which a real 4N-EXECUTOR cluster — each node with
     its own memory bus — does not share; both pairs are reported in
     BASELINE.md.) Override with SPARK_SCALING_LEVELS, e.g. "8,32".
-    Fresh subprocess per level so JVM state is clean."""
-    levels = os.environ.get("SPARK_SCALING_LEVELS", "2,8").split(",")
+    Fresh subprocess per level so JVM state is clean.
+
+    Default ORDER is high leg first: the round-4 samples show the
+    multi-core leg is the thermally sensitive one (low legs ±8%, high
+    legs ±16%, every sub-0.8 pair a depressed HIGH leg), so it should
+    run on the coldest box an invocation will ever see — its first
+    leg. The efficiency ratio is order-independent (lo/hi by value)."""
+    levels = os.environ.get("SPARK_SCALING_LEVELS", "8,2").split(",")
     samples = int(os.environ.get("SPARK_SCALING_SAMPLES", "2"))
     results: dict = {}
 
