@@ -594,9 +594,16 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (text + injected boilerplate/code/short-line tail the filter
     must strip). (Merged from round-2's gopher_quality / c4_clean queries
     so the full oracle set fits the driver's 50-query sweep window —
-    identical column expressions, one projection.)"""
+    identical column expressions, one projection.)
+
+    r5 adds the Gopher REPETITION rules (Rae et al. 2021 Table A1:
+    duplicate line/paragraph fraction + char fraction, top-2/3/4-gram
+    character fraction, combined ``repetition_pass``) — the signals a
+    boilerplate-heavy crawled page fails even when it passes every
+    length gate (textstats.gopher_repetition_flags)."""
     docs = _t(spark, sf_dir, "documents")
     gflags = T.gopher_quality_flags("text")
+    rflags = T.gopher_repetition_flags("text")
     noisy = F.concat(
         F.col("text"),
         F.lit(
@@ -610,6 +617,7 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         *[c.alias(n) for n, c in gflags.items()],
+        *[c.alias(n) for n, c in rflags.items()],
         F.md5(cflags["clean_text"]).alias("clean_md5"),
         cflags["n_lines_kept"].alias("n_lines_kept"),
         cflags["n_lines_dropped"].alias("n_lines_dropped"),
@@ -698,6 +706,100 @@ _GOPHER_PASS_SQL = """(n_words >= 50 AND n_words <= 100000
                     AND alpha_word_ratio >= 0.8
                     AND bullet_line_ratio < 0.9
                     AND ellipsis_line_ratio < 0.3)"""
+
+
+def _round6_sql(expr: str) -> str:
+    """floor(x*1e6+0.5)/1e6 — the engine-portable 6-decimal round the
+    Spark side uses (Spark HALF_UP vs DuckDB half-even genuinely differ
+    on the power-of-two-denominator ratios these rules produce)."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def _rep_dupfrac_sql(col: str, what: str) -> str:
+    """dup fraction + dup CHAR fraction of a trimmed line/paragraph list
+    — the SQL mirror of textstats.gopher_repetition_flags' _dup_fracs
+    (occurrences/characters beyond the first of each distinct value)."""
+    chars = f"coalesce(list_sum(list_transform({col}, x -> length(x))), 0)"
+    dchars = f"coalesce(list_sum(list_transform(list_distinct({col}), x -> length(x))), 0)"
+    frac = _round6_sql(
+        f"(len({col}) - len(list_distinct({col}))) / CAST(len({col}) AS DOUBLE)"
+    )
+    cfrac = _round6_sql(f"({chars} - {dchars}) / CAST({chars} AS DOUBLE)")
+    return f"""CASE WHEN len({col}) > 0
+                            THEN {frac}
+                            ELSE 0.0 END AS dup_{what}_frac,
+                       CASE WHEN {chars} > 0
+                            THEN {cfrac}
+                            ELSE 0.0 END AS dup_{what}_char_frac"""
+
+
+def _rep_topgram_ctes_sql() -> str:
+    """Per-n top-word-n-gram CTEs (most frequent gram, ties to the
+    lexicographically smallest — the same winner the Spark side's
+    sorted-array fold picks)."""
+    blocks = []
+    for n in (2, 3, 4):
+        blocks.append(f"""
+            rep_g{n} AS (
+                SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - {n - 1})) AS i
+                      FROM rep_lp WHERE len(w) >= {n}) x{n}
+            ),
+            rep_t{n} AS (
+                SELECT doc_id, gram, count(*) AS c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM rep_g{n} GROUP BY doc_id, gram
+            ),
+            rep_b{n} AS (
+                SELECT doc_id, c * length(gram) AS topchars
+                FROM rep_t{n} WHERE rn = 1
+            )""")
+    return ",".join(blocks)
+
+
+# Gopher repetition rules (Rae et al. 2021 Table A1) — SQL mirror of
+# textstats.gopher_repetition_flags, composed into the quality_filters
+# oracle. rep_f emits the ROUNDED ratios; repetition_pass recomputes
+# from those rounded values, exactly like the Spark side.
+_GOPHER_REP_CTES_SQL = f"""
+            rep_lp AS (
+                SELECT doc_id,
+                       list_transform(list_filter(regexp_split_to_array(text, '\\n'),
+                                                  x -> trim(x) <> ''), x -> trim(x)) AS l,
+                       list_transform(list_filter(regexp_split_to_array(text, '\\n\\n+'),
+                                                  x -> trim(x) <> ''), x -> trim(x)) AS p,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            rep_m AS (
+                SELECT doc_id,
+                       {_rep_dupfrac_sql('l', 'line')},
+                       {_rep_dupfrac_sql('p', 'para')},
+                       length(array_to_string(w, ' ')) AS norm_len
+                FROM rep_lp
+            ),{_rep_topgram_ctes_sql()},
+            rep_f AS (
+                SELECT m.doc_id,
+                       m.dup_line_frac, m.dup_line_char_frac,
+                       m.dup_para_frac, m.dup_para_char_frac,
+                       {_round6_sql("CASE WHEN m.norm_len > 0 THEN coalesce(b2.topchars, 0) / CAST(m.norm_len AS DOUBLE) ELSE 0.0 END")} AS top_2gram_char_frac,
+                       {_round6_sql("CASE WHEN m.norm_len > 0 THEN coalesce(b3.topchars, 0) / CAST(m.norm_len AS DOUBLE) ELSE 0.0 END")} AS top_3gram_char_frac,
+                       {_round6_sql("CASE WHEN m.norm_len > 0 THEN coalesce(b4.topchars, 0) / CAST(m.norm_len AS DOUBLE) ELSE 0.0 END")} AS top_4gram_char_frac
+                FROM rep_m m
+                LEFT JOIN rep_b2 b2 ON m.doc_id = b2.doc_id
+                LEFT JOIN rep_b3 b3 ON m.doc_id = b3.doc_id
+                LEFT JOIN rep_b4 b4 ON m.doc_id = b4.doc_id
+            )"""
+
+_REP_PASS_SQL = """(rf.dup_line_frac <= 0.30 AND rf.dup_para_frac <= 0.30
+                    AND rf.dup_line_char_frac <= 0.20
+                    AND rf.dup_para_char_frac <= 0.20
+                    AND rf.top_2gram_char_frac <= 0.20
+                    AND rf.top_3gram_char_frac <= 0.18
+                    AND rf.top_4gram_char_frac <= 0.16)"""
 
 
 def _surrogate_hash(col, n: int = 2_147_483_647):
@@ -884,15 +986,15 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXACT_NEAR_DUP_CAP = 4096  # all-pairs baseline is O(cap²) BY DESIGN
 
 
-def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact all-pairs verify — the labeled
     correctness BASELINE for the LSH-bucketed path, never a production
     query. The all-pairs join is O(n²) by construction, so the input is
     hard-capped at ``EXACT_NEAR_DUP_CAP`` ids (deterministic
     ``vec_id < cap`` predicate, mirrored in the oracle): at any corpus
     scale this query touches ≤ cap² pairs, and anyone needing near-dups
-    past the cap is pointed at ``embedding_near_dup`` (bucketed LSH +
-    exact verify on candidates — the scale path this baselines)."""
+    past the cap is pointed at the LSH side (bucketed LSH + exact
+    verify on candidates — the scale path this baselines)."""
     emb = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
@@ -905,6 +1007,29 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(SIM.dot_product("vec_a", "vec_b") / denom)
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= 0.5
+    )
+
+
+def q_dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL — the second half of Lee et al. 2022
+    §3 ExactSubstr (``duplicate_ngram_spans`` discovers, this excises):
+    every token covered by an 8-token window shared by ≥2 documents is
+    cut from every document, surviving tokens re-joined by single
+    spaces. Fully distributed rebuild (hash-keyed window semi-join →
+    covered-(id,idx) anti-join → ordered reassembly), no broadcasts, no
+    per-document quadratic HOFs — see
+    operators/dedup_fuzzy.remove_duplicate_spans. Emits md5 of the
+    cleaned text so the driver value-hash compares full removal output
+    without shipping document bodies."""
+    from judyst_web_crawler_spark.operators.dedup_fuzzy import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
     )
 
 
@@ -938,15 +1063,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket join + exact verify.
+    """Embedding-cosine near-dup — BOTH paths in one oracled result,
+    tagged by ``method``:
 
-    Round 1 ran this on the raw table and got 0 rows at the verify SF —
-    a vacuous check (VERDICT r1). Now the corpus is the table UNION 20
-    planted near-duplicates (first element nudged +0.05 → cosine ≈ 1),
-    so the LSH path must actually find pairs, and the result is fully
-    SQL-expressible: the DuckDB oracle computes the exact n² pairs over
-    the same union. Random 64-dim pairs never reach cosine 0.9 (≈7σ),
-    so oracle rows == planted pairs and any LSH recall loss → red."""
+    - ``lsh``: bucket join + exact verify over the table UNION 20
+      planted near-duplicates (first element nudged +0.05 → cosine ≈ 1).
+      Round 1 ran this on the raw table and got 0 rows at the verify SF —
+      a vacuous check (VERDICT r1); the planted pairs make recall loss
+      → red, and random 64-dim pairs never reach cosine 0.9 (≈7σ), so
+      oracle rows == planted pairs.
+    - ``exact``: the capped all-pairs baseline (``_exact_near_dup_pairs``)
+      the LSH path is measured against.
+
+    (Merged from round-4's embedding_near_dup / embedding_near_dup_exact
+    so the r5 span-REMOVAL query fits the driver's 50-entry sweep window
+    — identical pair expressions, one union.)"""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -958,7 +1089,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     union = emb.unionByName(planted)
-    return SIM.embedding_near_duplicates(union, dim=64, threshold=0.9, n_tables=8, bits=8)
+    lsh = SIM.embedding_near_duplicates(union, dim=64, threshold=0.9, n_tables=8, bits=8)
+    exact = _exact_near_dup_pairs(spark, sf_dir)
+    return lsh.select(F.lit("lsh").alias("method"), "id_a", "id_b", "cosine").unionByName(
+        exact.select(F.lit("exact").alias("method"), "id_a", "id_b", "cosine")
+    )
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1487,7 +1622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "similarity_topk": q_similarity_topk,
         "token_jaccard": q_token_jaccard,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        # r5: embedding_near_dup_exact merged INTO embedding_near_dup
+        # (method='exact'/'lsh' union — same pair expressions) to free
+        # this sweep slot for the span-REMOVAL query:
+        "dedup_spans_removed": q_dedup_spans_removed,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_recall": q_ann_recall,
         "dup_clusters": q_dup_clusters,
@@ -2016,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_filters": f"""
             WITH {_GOPHER_CTES_SQL},
+            {_GOPHER_REP_CTES_SQL},
             n AS (
                 SELECT doc_id,
                        text || chr(10) || 'function f() {{ return 1; }}'
@@ -2048,10 +2187,17 @@ def oracle_sql() -> dict[str, str]:
                    round(g.bullet_line_ratio, 6) AS bullet_line_ratio,
                    round(g.ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
                    {_GOPHER_PASS_SQL} AS gopher_pass,
+                   rf.dup_line_frac, rf.dup_line_char_frac,
+                   rf.dup_para_frac, rf.dup_para_char_frac,
+                   rf.top_2gram_char_frac, rf.top_3gram_char_frac,
+                   rf.top_4gram_char_frac,
+                   {_REP_PASS_SQL} AS repetition_pass,
                    md5(array_to_string(k.kept, chr(10))) AS clean_md5,
                    CAST(len(k.kept) AS BIGINT) AS n_lines_kept,
                    CAST(len(k.lines) - len(k.kept) AS BIGINT) AS n_lines_dropped
-            FROM goph_m g JOIN k ON g.doc_id = k.doc_id
+            FROM goph_m g
+            JOIN k ON g.doc_id = k.doc_id
+            JOIN rep_f rf ON g.doc_id = rf.doc_id
         """,
         "fingerprint_sigs": """
             WITH toks AS (
@@ -2192,26 +2338,60 @@ def oracle_sql() -> dict[str, str]:
                    ) AS jaccard
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         """,
-        "embedding_near_dup_exact": f"""
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
-                          THEN 0.0
-                          ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END,
-                     6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < {EXACT_NEAR_DUP_CAP} AND b.vec_id < {EXACT_NEAR_DUP_CAP}
-              AND round(
-                     CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
-                          THEN 0.0
-                          ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END,
-                     6) >= 0.5
+        "dedup_spans_removed": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            tl AS (
+                SELECT doc_id, toks,
+                       list_transform(toks, x -> lower(x)) AS low
+                FROM t
+            ),
+            w AS (
+                SELECT doc_id, low,
+                       unnest(generate_series(1, len(low) - 7)) AS i
+                FROM tl WHERE len(low) >= 8
+            ),
+            s AS (
+                SELECT doc_id, i, array_to_string(low[i:i+7], ' ') AS span FROM w
+            ),
+            dup AS (
+                SELECT span FROM s GROUP BY span
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT s.doc_id,
+                       unnest(generate_series(s.i, s.i + 7)) AS idx
+                FROM s JOIN dup USING (span)
+            ),
+            tok_rows AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(generate_series(1, len(toks))) AS idx
+                FROM t
+            ),
+            kept AS (
+                SELECT tr.doc_id, tr.idx, tr.tok
+                FROM tok_rows tr
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cov
+                    WHERE cov.doc_id = tr.doc_id AND cov.idx = tr.idx
+                )
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY idx) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(coalesce(r.text, '')) AS clean_md5,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT)
+                       AS n_tokens_removed
+            FROM t LEFT JOIN rebuilt r USING (doc_id)
         """,
         "similarity_topk": f"""
             SELECT vec_id, round({cos}, 6) AS cosine,
@@ -2220,28 +2400,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round({cos}, 6) DESC, vec_id ASC
             LIMIT 10
         """,
-        "embedding_near_dup": """
+        "embedding_near_dup": f"""
             WITH u AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 UNION ALL
                 SELECT vec_id + 1000000,
                        list_concat([embedding[1]::DOUBLE + 0.05], (embedding::DOUBLE[])[2:]) AS v
                 FROM embeddings WHERE vec_id < 20
+            ),
+            pairs AS (
+                SELECT 'lsh' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                         CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                              THEN 0.0
+                              ELSE list_dot_product(a.v, b.v)
+                                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END,
+                         6) AS cosine,
+                       0.9 AS thr
+                FROM u a JOIN u b ON a.vec_id < b.vec_id
+                UNION ALL
+                SELECT 'exact' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                         CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) = 0
+                              THEN 0.0
+                              ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) END,
+                         6) AS cosine,
+                       0.5 AS thr
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < {EXACT_NEAR_DUP_CAP} AND b.vec_id < {EXACT_NEAR_DUP_CAP}
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
-                          THEN 0.0
-                          ELSE list_dot_product(a.v, b.v)
-                               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END,
-                     6) AS cosine
-            FROM u a JOIN u b ON a.vec_id < b.vec_id
-            WHERE round(
-                     CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
-                          THEN 0.0
-                          ELSE list_dot_product(a.v, b.v)
-                               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END,
-                     6) >= 0.9
+            SELECT method, id_a, id_b, cosine FROM pairs WHERE cosine >= thr
         """,
         "crawl_delay_budget": """
             WITH h AS (SELECT DISTINCT source AS host FROM documents),

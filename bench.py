@@ -73,6 +73,7 @@ HEADLINE = [
     "corpus_prep",
     "etl_update",
     "duplicate_ngram_spans",
+    "dedup_spans_removed",
 ]
 # round-2 → round-3 name mapping (queries consolidated so every oracled
 # query fits the driver's 50-entry sweep window; see __spark_entry__.py):
@@ -168,7 +169,77 @@ def bench_frontier(spark, sf: float, n_salts: int = 4) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_incremental_dedup(spark, sf: float) -> dict:
+    """The per-wave incremental dedup loop a 100 TB crawl actually runs
+    (VERDICT r4 next-steps #5): a 2-wave engine crawl with the MinHash
+    band index committed per wave, then ``near_dups_of_wave(<last>)``
+    — new-wave docs vs everything crawled so far, zero
+    re-fingerprinting — timed separately from the crawl itself.
+
+    5% of pages get a same-body mirror url (distinct url, identical
+    html — the mirror-site scenario), so the query must surface real
+    pairs, not just probe empty buckets."""
+    from pyspark.sql import functions as F
+
+    from judyst_web_crawler_spark import datagen
+    from judyst_web_crawler_spark.operators.frontier import FrontierEngine
+    from judyst_web_crawler_spark.sources.catalog import SnapshotCatalog
+
+    n_urls = int(
+        os.environ.get("SPARK_BENCH_DEDUP_URLS", max(2000, int(375_000 * sf)))
+    )
+    work = tempfile.mkdtemp(prefix="jwcs-bench-dedup-")
+    try:
+        pages_path = os.path.join(work, "pages")
+        base = datagen.pages_df(
+            spark, n_rows=n_urls, n_hosts=100, with_oracle_text=False,
+            body_repeats=24,
+        )
+        mirrors = base.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0).withColumn(
+            "url", F.regexp_replace("url", "/ru/Decision/", "/mirror/Decision/")
+        )
+        base.unionByName(mirrors).write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        seeds = pages.select(
+            "url",
+            (F.xxhash64("url") % 50).cast("int").alias("page_seq"),
+            (F.xxhash64("url", F.lit(1)) % 100).cast("int").alias("intra_page_seq"),
+        )
+        n_seeds = seeds.count()
+        cat = SnapshotCatalog(spark, os.path.join(work, "cat"))
+        eng = FrontierEngine(
+            spark, cat, use_bloom=True, fingerprint_k=128,
+            minhash_index_path=os.path.join(work, "mhidx"),
+        )
+        t0 = time.monotonic()
+        eng.bootstrap(seeds)
+        stats = eng.run(pages, budget=(n_seeds + 1) // 2, n_salts=4, max_waves=4)
+        crawl_s = time.monotonic() - t0
+        last_wave = stats[-1]["wave"]
+        t1 = time.monotonic()
+        n_pairs = eng.near_dups_of_wave(last_wave, threshold=0.7).count()
+        dedup_s = time.monotonic() - t1
+        return {
+            "n_urls": n_seeds,
+            "waves": len(stats),
+            "crawl_s": round(crawl_s, 2),
+            "near_dups_wave_s": round(dedup_s, 2),
+            "near_dup_pairs": n_pairs,
+            "pairs_per_sec": round(n_pairs / dedup_s, 1) if dedup_s else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_queries(spark) -> dict[str, float]:
+    """Best-of-N per query (default N=2, $SPARK_BENCH_QUERY_SAMPLES).
+
+    This host suffers multi-second EPISODIC slowdowns (BENCH_r04's
+    official artifact overstated four queries 10-30× vs same-code minima
+    — VERDICT r4 adjudicated the spikes as host episodes, not code, and
+    prescribed best-of-N like the scaling legs). Whole-list passes, not
+    back-to-back repeats of each query: an episode then hits DIFFERENT
+    queries in each pass, so the per-query min dodges it."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -181,12 +252,16 @@ def run_queries(spark) -> dict[str, float]:
         lambda it: it, "id long"
     ).agg(_F.count(_F.lit(1))).collect()
 
-    out = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        out[name] = round(time.monotonic() - t0, 3)
+    samples = max(1, int(os.environ.get("SPARK_BENCH_QUERY_SAMPLES", "2")))
+    out: dict[str, float] = {}
+    for _ in range(samples):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            got = round(time.monotonic() - t0, 3)
+            if name not in out or got < out[name]:
+                out[name] = got
     return out
 
 
@@ -201,10 +276,13 @@ def run_scaling() -> dict:
     Fresh subprocess per level so JVM state is clean.
 
     Default ORDER is high leg first: the round-4 samples show the
-    multi-core leg is the thermally sensitive one (low legs ±8%, high
-    legs ±16%, every sub-0.8 pair a depressed HIGH leg), so it should
-    run on the coldest box an invocation will ever see — its first
-    leg. The efficiency ratio is order-independent (lo/hi by value)."""
+    multi-core leg is the thermally sensitive one (across ALL FIVE
+    round-4 published samples: low legs ±8%, high legs ±16%; across
+    the first three — the single-day subset the lo/hi comment below
+    cites — ±3% / ±13%; every sub-0.8 pair a depressed HIGH leg), so
+    it should run on the coldest box an invocation will ever see — its
+    first leg. The efficiency ratio is order-independent (lo/hi by
+    value)."""
     levels = os.environ.get("SPARK_SCALING_LEVELS", "8,2").split(",")
     samples = int(os.environ.get("SPARK_SCALING_SAMPLES", "2"))
     results: dict = {}
@@ -262,8 +340,9 @@ def run_scaling() -> dict:
     # also controls EXECUTION order (e.g. "8,2" measures the high leg
     # first, on the coldest box — the high-parallelism leg is the
     # thermally sensitive one; BASELINE.md round-4 table: low legs are
-    # ±3% across samples, high legs ±13%), while the efficiency ratio
-    # always divides high by low.
+    # ±3% and high legs ±13% across the first-three same-day samples,
+    # ±8% / ±16% across all five), while the efficiency ratio always
+    # divides high by low.
     lo = min(levels, key=int)
     hi = max(levels, key=int)
     ratio = int(hi) / int(lo)
@@ -320,6 +399,7 @@ def main() -> None:
         print(json.dumps({"frontier": frontier, "sf": sf}))
         return
 
+    incremental = bench_incremental_dedup(spark, sf)
     queries = run_queries(spark)
     total = round(sum(queries.values()) + frontier["elapsed_s"], 3)
     print(
@@ -331,6 +411,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "frontier": frontier,
+                "incremental_dedup": incremental,
             }
         )
     )

@@ -212,6 +212,121 @@ def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
     }
 
 
+def gopher_repetition_flags(text: Column | str) -> dict[str, Column]:
+    """Gopher REPETITION rules (Rae et al. 2021, §A1.1 Table A1 — the
+    repetition signals the length-based :func:`gopher_quality_flags`
+    rules omit; in practice the highest-yield filters on crawled web
+    text). All pure Column expressions (whole-stage codegen, no UDFs,
+    no shuffles — per-document HOFs only):
+
+    - duplicate line / paragraph fraction: occurrences beyond the first
+      of an identical (trimmed) line/paragraph, over total — computed as
+      ``(count - count_distinct) / count``. Threshold 0.30.
+    - duplicate line / paragraph CHARACTER fraction: characters in those
+      extra occurrences over total line/paragraph characters — computed
+      as ``(chars - distinct_chars) / chars``. Threshold 0.20.
+    - top 2/3/4-gram character fraction: characters claimed by the most
+      frequent word n-gram, ``count·len(gram) / len(normalized text)``
+      (lowercased words joined by single spaces; ties break to the
+      lexicographically smallest gram — deterministic and
+      SQL-mirrorable). Thresholds 0.20 / 0.18 / 0.16.
+
+    The top-gram scan sorts the per-document gram array and folds ONE
+    pass over it (longest run in a sorted array == max count; first
+    maximal run == lexicographically smallest winner) — O(G log G) per
+    document, never the O(G²) count-each-gram-against-all HOF.
+
+    Returns named ratio Columns plus ``repetition_pass`` (all rules
+    hold). Documents with no lines/paragraphs/grams score 0.0 (pass):
+    repetition rules gate REPEATED content, absence isn't repetition —
+    the length gates in :func:`gopher_quality_flags` handle short docs.
+    """
+    t = _c(text)
+
+    def _dup_fracs(parts: Column, what: str) -> dict[str, Column]:
+        trimmed = F.transform(parts, lambda x: F.trim(x))
+        total = F.size(trimmed)
+        chars = F.aggregate(trimmed, F.lit(0), lambda a, x: a + F.length(x))
+        dis = F.array_distinct(trimmed)
+        d_chars = F.aggregate(dis, F.lit(0), lambda a, x: a + F.length(x))
+        frac = F.when(
+            total > 0, (total - F.size(dis)) / total.cast("double")
+        ).otherwise(F.lit(0.0))
+        cfrac = F.when(
+            chars > 0, (chars - d_chars) / chars.cast("double")
+        ).otherwise(F.lit(0.0))
+        return {f"dup_{what}_frac": frac, f"dup_{what}_char_frac": cfrac}
+
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    paras = F.filter(F.split(t, r"\n\n+"), lambda x: F.trim(x) != "")
+    out: dict[str, Column] = {}
+    out.update(_dup_fracs(lines, "line"))
+    out.update(_dup_fracs(paras, "para"))
+
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    norm_len = F.length(F.array_join(words, " "))
+
+    def _top_gram_frac(n: int) -> Column:
+        idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+        grams = F.when(
+            F.size(words) >= n,
+            F.sort_array(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit("").alias("best_gram"),
+            F.lit(0).alias("best_cnt"),
+        )
+        best = F.aggregate(
+            grams,
+            zero,
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.when(
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                    > acc["best_cnt"],
+                    g,
+                ).otherwise(acc["best_gram"]).alias("best_gram"),
+                F.greatest(
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                    acc["best_cnt"],
+                ).alias("best_cnt"),
+            ),
+        )
+        return F.when(
+            norm_len > 0,
+            (best["best_cnt"] * F.length(best["best_gram"])) / norm_len.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16)):
+        out[f"top_{n}gram_char_frac"] = _top_gram_frac(n)
+
+    # thresholds compare the ROUNDED ratios (the emitted columns), so
+    # the pass flag is reproducible from the emitted values on any
+    # engine — a sub-rounding double divergence can never flip it.
+    # floor(x*1e6+0.5) instead of round(): these ratios have small
+    # denominators, so power-of-two ones (e.g. 25/128) are EXACT binary
+    # ties where Spark HALF_UP and DuckDB half-even genuinely differ
+    # (same idiom as quality_score)
+    rounded = {
+        k: F.floor(v * 1000000.0 + F.lit(0.5)) / 1000000.0 for k, v in out.items()
+    }
+    rounded["repetition_pass"] = (
+        (rounded["dup_line_frac"] <= 0.30)
+        & (rounded["dup_para_frac"] <= 0.30)
+        & (rounded["dup_line_char_frac"] <= 0.20)
+        & (rounded["dup_para_char_frac"] <= 0.20)
+        & (rounded["top_2gram_char_frac"] <= 0.20)
+        & (rounded["top_3gram_char_frac"] <= 0.18)
+        & (rounded["top_4gram_char_frac"] <= 0.16)
+    )
+    return rounded
+
+
 def c4_clean_lines(text: Column | str, min_words: int = 3) -> dict[str, Column]:
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — public
     heuristics), JVM-side:

@@ -136,6 +136,7 @@ def duplicate_ngram_spans(
     min_docs: int = 2,
     resolve_spans: bool = True,
     materialize: bool = True,
+    broadcast_resolve_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Exact repeated token-n-gram spans ACROSS documents — the
     exact-substring dedup primitive (Lee et al. 2022, "Deduplicating
@@ -154,16 +155,32 @@ def duplicate_ngram_spans(
     (where map-side combine cannot compress) that cuts shuffle volume
     ~3× and, critically, never amplifies corpus bytes through the wire.
     Hot boilerplate spans remain hot GROUPS (partial-combined map-side),
-    never hot JOIN sides. Span STRINGS only cross an exchange after the
-    ``min_docs`` filter: the surviving hash set (16 B/row) broadcasts
-    into a left_semi that drops singleton spans map-side, then one
-    groupBy resolves ``min(span)`` per surviving hash. For corpora whose
-    *shared*-span set itself exceeds broadcast capacity, pass
-    ``resolve_spans=False``: the result keeps (h1, h2) keys — downstream
-    exact-substring removal joins document windows on the same hashes,
-    so the strings are never needed at scale (Lee et al.'s production
-    path is suffix-array based; this is the shuffle-bounded DataFrame
-    equivalent).
+    never hot JOIN sides. Span STRINGS never ride the wide aggregation:
+    the surviving hash set (16 B/row) joins into a left_semi that drops
+    singleton spans, then one groupBy resolves ``min(span)`` per
+    surviving hash.
+
+    Resolve-join strategy is SIZE-GATED, not assumed: on
+    boilerplate-heavy web corpora the *shared*-span set is itself huge
+    (Lee et al. measure double-digit % of tokens inside duplicated
+    spans), so an unconditional broadcast of the survivor hashes OOMs
+    the driver exactly when the operator matters most. The default
+    path counts the persisted survivors (one scalar action on the
+    already-persisted ``groups``) and broadcasts only below
+    ``broadcast_resolve_threshold`` rows (5M ≈ 80 MB of 16 B keys) —
+    that path filters singleton spans map-side, so strings cross no
+    exchange before the ``min_docs`` filter. Above the threshold — or
+    whenever ``materialize=False`` means no count is available — the
+    semi-join runs shuffled: asking for resolved STRINGS over a
+    survivor set too big to broadcast inherently costs one exchange of
+    the window strings (each string must reach its hash's reducer);
+    the gate bounds that to exactly one never-amplified pass, and AQE
+    still upgrades to broadcast at runtime when the survivor side
+    turns out small. For removal pipelines the strings are never
+    needed at all: pass ``resolve_spans=False`` and join document
+    windows on the (h1, h2) keys (``remove_duplicate_spans`` does
+    exactly this; Lee et al.'s production path is suffix-array based —
+    this is the shuffle-bounded DataFrame equivalent).
 
     The resolve path consumes ``groups`` twice (once to build the
     broadcast survivor set, once as the final join's left side) — the
@@ -198,15 +215,22 @@ def duplicate_ngram_spans(
     if not resolve_spans:
         return groups
     handles: list[DataFrame] = []
+    use_broadcast = False
     if materialize:
         groups = groups.persist()
         handles.append(groups)
+        # size-gate the resolve join (docstring): the count rides the
+        # persisted survivors, so it costs one scalar action, not a
+        # recompute of the wide aggregation
+        use_broadcast = groups.count() <= broadcast_resolve_threshold
     # Resolve strings for SURVIVING groups only: re-derive the windows
-    # (CPU-linear, no stored intermediate), drop singletons map-side via
-    # the broadcast semi join, and collapse to one string per hash pair.
-    # min(span) makes the pick deterministic even under a (negligible)
-    # 128-bit collision.
-    survivors = F.broadcast(groups.select("h1", "h2"))
+    # (CPU-linear, no stored intermediate), drop singletons via the
+    # semi join, and collapse to one string per hash pair. min(span)
+    # makes the pick deterministic even under a (negligible) 128-bit
+    # collision.
+    survivors = groups.select("h1", "h2")
+    if use_broadcast:
+        survivors = F.broadcast(survivors)
     resolved = (
         spans.select(F.col("span"), h1.alias("h1"), h2.alias("h2"))
         .join(survivors, ["h1", "h2"], "left_semi")
@@ -219,6 +243,171 @@ def duplicate_ngram_spans(
     if not materialize:
         return out
     return checkpoint_and_release(out, handles)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    rounds: int = 1,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXCISE cross-document repeated token-n-gram spans — the removal
+    half of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §3 ExactSubstr: after
+    *finding* duplicated spans, the pipeline cuts them out of every
+    document). :func:`duplicate_ngram_spans` discovers; this consumes.
+
+    Contract: a token is removed iff it is covered by at least one
+    n-token window whose lowered space-joined form occurs in
+    ``>= min_docs`` distinct documents (ALL occurrences are excised —
+    Lee et al.'s symmetric variant; a maximal shared region of length
+    >= n is removed in full from every document containing it). Output
+    is one row per input document: ``(id_col, text_col, n_tokens,
+    n_tokens_removed)`` where ``text_col`` is the surviving tokens
+    joined by single spaces. Whitespace is normalized for EVERY
+    document (touched or not) so the output is a uniform
+    token-stream corpus; original casing of surviving tokens is kept
+    (hashing lowers a copy, exactly like duplicate_ngram_spans'
+    lower-then-split — lowercasing never alters whitespace, so the
+    token boundaries agree).
+
+    ``spans``: pass ``duplicate_ngram_spans(df, ..., resolve_spans=
+    False)`` output (or any frame with ``h1``/``h2`` of the same
+    128-bit span-hash family) to reuse a precomputed discovery pass;
+    ``None`` derives it here (hash-keyed, strings never shuffled).
+
+    Scale shape (the 100 TB contract): no per-document quadratic HOF
+    and no broadcast anywhere — boilerplate-heavy corpora make BOTH
+    the span set and per-document coverage huge, so (a) window→span
+    matching is a shuffled left_semi on the 128-bit hash (AQE upgrades
+    it to broadcast at runtime when the span set happens to be small),
+    (b) covered positions explode to (id, idx) rows and the rebuild is
+    a distributed anti-join + per-document sort, all exchanges keyed
+    on ``id_col`` — shuffle volume is proportional to the tokens of
+    DIRTY documents only (clean documents short-circuit through a
+    zero-shuffle projection).
+
+    ``rounds``: excision can juxtapose previously distant tokens into
+    NEW shared windows (docs ``A S B`` / ``A T B`` with S, T removed
+    both collapse to ``A B``), so one pass is not a fixed point in
+    adversarial corpora — Lee et al. iterate to convergence. Each
+    extra round re-discovers spans on the cleaned text. On natural
+    corpora one round removes everything (pinned on the fixture);
+    ``n_tokens_removed`` is cumulative across rounds.
+
+    ``materialize=True`` persists the per-round hit set (small: dirty
+    (id, pos) rows only) so discovery and rebuild share one scan; the
+    handle is released via cache.checkpoint_and_release per round.
+    """
+    if rounds < 1:
+        raise ValueError(f"remove_duplicate_spans: rounds must be >= 1, got {rounds}")
+    toks_of = lambda c: F.filter(  # noqa: E731
+        F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda x: x != F.lit("")
+    )
+
+    cur = df.select(F.col(id_col), F.col(text_col))
+    n_tokens_orig = F.size(toks_of(F.col(text_col))).alias("n_tokens")
+    cur = cur.select(id_col, text_col, n_tokens_orig)
+
+    for rnd in range(rounds):
+        round_spans = spans if rnd == 0 else None
+        if round_spans is None:
+            round_spans = duplicate_ngram_spans(
+                cur, id_col, text_col, n=n, min_docs=min_docs,
+                resolve_spans=False, materialize=False,
+            )
+        toks = toks_of(F.col(text_col))
+        low = F.transform(toks, F.lower)
+        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        win_pos = F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(low, i, n)).alias("span"),
+            )),
+        ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+        windows = cur.select(
+            F.col(id_col), F.explode(win_pos).alias("w")
+        ).select(
+            id_col,
+            F.col("w.pos").alias("_pos"),
+            F.xxhash64("w.span").alias("h1"),
+            F.xxhash64("w.span", F.lit(_SPAN_HASH_SALT)).alias("h2"),
+        )
+        # shuffled semi-join by design (see docstring); one covered-token
+        # row per (doc, idx) after the explode+distinct
+        hit_windows = windows.join(
+            round_spans.select("h1", "h2"), ["h1", "h2"], "left_semi"
+        )
+        covered = (
+            hit_windows.select(
+                F.col(id_col),
+                F.explode(
+                    F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+                ).alias("_idx"),
+            )
+            .distinct()
+        )
+        handles: list[DataFrame] = []
+        if materialize:
+            covered = covered.persist()
+            handles.append(covered)
+        dirty_ids = covered.select(F.col(id_col)).distinct()
+
+        # clean docs: zero-shuffle normalization pass-through
+        clean = cur.join(dirty_ids, id_col, "left_anti").select(
+            id_col,
+            F.concat_ws(" ", toks).alias(text_col),
+            F.col("n_tokens"),
+            F.coalesce(F.size(toks), F.lit(0)).alias("_n_kept"),
+        )
+
+        # dirty docs: explode tokens with position, anti-join covered,
+        # reassemble in order
+        dirty = cur.join(dirty_ids, id_col, "left_semi")
+        tok_rows = dirty.select(
+            F.col(id_col), F.posexplode(toks).alias("_i", "_tok")
+        ).withColumn("_idx", F.col("_i") + F.lit(1))
+        kept = tok_rows.join(covered, [id_col, "_idx"], "left_anti")
+        rebuilt = (
+            kept.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("_idx", "_tok"))).alias("_ks"))
+            .select(
+                id_col,
+                F.concat_ws(
+                    " ", F.transform("_ks", lambda s: s["_tok"])
+                ).alias(text_col),
+                F.size("_ks").alias("_n_kept"),
+            )
+        )
+        # fully-excised docs produce no kept rows: restore as empty text
+        rebuilt = dirty.select(id_col, "n_tokens").join(
+            rebuilt, id_col, "left"
+        ).select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_tokens",
+            F.coalesce(F.col("_n_kept"), F.lit(0)).alias("_n_kept"),
+        )
+
+        out = clean.unionByName(rebuilt).select(
+            id_col,
+            text_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.col("_n_kept")).alias("n_tokens_removed"),
+        )
+        if materialize:
+            out = checkpoint_and_release(out, handles)
+        # next round re-tokenizes the cleaned text; `n_tokens` stays the
+        # ORIGINAL count, `_n_kept` is always THIS round's survivor
+        # count, so `n_tokens_removed` is cumulative with no extra state
+        cur = out
+
+    return out
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -572,12 +761,41 @@ def attach_pair_sides(
     execution instead of silently scoring the pair against an arbitrary
     generation's value (append-only corpora must be collapsed first,
     e.g. via ``corpus_latest_by``; the conflict check rides the same
-    hash aggregate, no extra shuffle). Duplicate identical PAIR rows
-    collapse to one via the regroup — candidate pairs are distinct
-    upstream (band joins dedupe), and one-row-per-pair is what every
-    verifier wants. ``value_col`` must be an orderable type (string /
-    binary / numeric / array — everything the verifiers attach); maps
-    would fail the min/max uniformity check at analysis time."""
+    hash aggregate, no extra shuffle, and compares 8-byte
+    ``xxhash64(value)`` digests rather than the raw payload — document
+    texts / embedding vectors flow through the aggregation state and
+    shuffle ONCE, as the output ``max``, never a second time for the
+    check; a 64-bit digest collision masking a real conflict is
+    ~2⁻⁶⁴ per pair, negligible for a sanity check). Duplicate identical
+    PAIR rows collapse to one via the regroup — candidate pairs are
+    distinct upstream (band joins dedupe), and one-row-per-pair is what
+    every verifier wants. ``value_col`` must be a hashable, orderable
+    type (string / binary / numeric / array — everything the verifiers
+    attach); maps fail the digest at analysis time.
+
+    RESERVED NAMES: ``out_a``/``out_b`` must differ from each other and
+    from ``id_a``/``id_b`` and the internal aliases (``_side_id``,
+    ``_v``, ``_lo_*``/``_hi_*``/``_n_*``/``_nv_*``), and ``id_col`` must
+    differ from ``value_col`` — validated up front with a clear error
+    instead of a downstream duplicate/ambiguous-column analysis
+    failure."""
+    reserved = {
+        "id_a", "id_b", "_side_id", "_v",
+        "_lo_a", "_lo_b", "_hi_a", "_hi_b",
+        "_n_a", "_n_b", "_nv_a", "_nv_b",
+    }
+    bad = {out_a, out_b} & reserved
+    if bad or out_a == out_b:
+        raise ValueError(
+            f"attach_pair_sides: out_a/out_b must be distinct and avoid "
+            f"the reserved names {sorted(reserved)}; got out_a={out_a!r}, "
+            f"out_b={out_b!r}"
+        )
+    if id_col == value_col:
+        raise ValueError(
+            f"attach_pair_sides: id_col and value_col must differ; got "
+            f"{id_col!r} for both"
+        )
     # "_side_id", not id_col, as the exploded alias: a caller whose
     # id_col is literally "id_a"/"id_b" must not collide with the pair
     # columns (AMBIGUOUS_REFERENCE at plan time otherwise).
@@ -588,14 +806,21 @@ def attach_pair_sides(
     is_a = F.col("_side_id") == F.col("id_a")
     is_b = F.col("_side_id") == F.col("id_b")
     va, vb = F.when(is_a, F.col("_v")), F.when(is_b, F.col("_v"))
+    # 8-byte uniformity digests (docstring): NULL values stay NULL so
+    # the nv/n counting still separates all-NULL from mixed sides
+    dig = F.xxhash64(F.col("_v"))
+    da = F.when(is_a & F.col("_v").isNotNull(), dig)
+    db = F.when(is_b & F.col("_v").isNotNull(), dig)
     grouped = (
         sides.join(vals, "_side_id")
         .groupBy("id_a", "id_b")
         .agg(
             F.max(va).alias(out_a),
             F.max(vb).alias(out_b),
-            F.min(va).alias("_lo_a"),
-            F.min(vb).alias("_lo_b"),
+            F.min(da).alias("_lo_a"),
+            F.min(db).alias("_lo_b"),
+            F.max(da).alias("_hi_a"),
+            F.max(db).alias("_hi_b"),
             F.count(F.when(is_a, F.lit(1))).alias("_n_a"),
             F.count(F.when(is_b, F.lit(1))).alias("_n_b"),
             F.count(va).alias("_nv_a"),
@@ -606,13 +831,13 @@ def attach_pair_sides(
     def _uniform(n: str, nv: str, lo: str, hi: str) -> F.Column:
         # a side is clean iff its matched lookup rows are all NULL
         # (pair drops below) or all equal and non-NULL; 0 < nv < n is
-        # the NULL/non-NULL mix, lo != hi the conflicting-values case
+        # the NULL/non-NULL mix, lo != hi the conflicting-digest case
         return (F.col(nv) == 0) | (
             (F.col(nv) == F.col(n)) & F.col(lo).eqNullSafe(F.col(hi))
         )
 
-    ok = _uniform("_n_a", "_nv_a", "_lo_a", out_a) & _uniform(
-        "_n_b", "_nv_b", "_lo_b", out_b
+    ok = _uniform("_n_a", "_nv_a", "_lo_a", "_hi_a") & _uniform(
+        "_n_b", "_nv_b", "_lo_b", "_hi_b"
     )
     msg = F.concat_ws(
         " ",
