@@ -43,6 +43,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fanout(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster before per-row-CPU-heavy
+    work (repetition HOFs, window explodes, MinHash fingerprinting, the
+    all-pairs nested-loop stream side).
+
+    Why: Spark parallelizes a scan by INPUT SPLITS
+    (``files.maxPartitionBytes``) — sized for scan-bound work. A
+    CPU-bound projection over a table that is physically one small file
+    (the sandbox fixture; at 100 TB any late-stage compacted/filtered
+    tail has the same shape) runs on ONE core no matter how wide the
+    cluster — bench forensics measured quality_filters 51.9 s serial
+    vs ~1 s spread. Cost is one narrow round-robin exchange of the
+    input rows, negligible next to the per-row CPU it unlocks; when the
+    scan already has at least cluster-width splits this is skipped
+    entirely (no plan change at real scale)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # Deterministic 64-dim query vector shared by Spark and the SQL oracle:
 # two-decimal rationals, parsed identically as doubles on both sides.
 QUERY_VEC = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
@@ -562,7 +583,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_lang_id / text_quality / text_fingerprint queries so the full
     oracle set fits the driver's 50-query sweep window — same column
     expressions, one projection.)"""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").cast("long").alias("n_tokens"),
@@ -601,7 +622,7 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     character fraction, combined ``repetition_pass``) — the signals a
     boilerplate-heavy crawled page fails even when it passes every
     length gate (textstats.gopher_repetition_flags)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     gflags = T.gopher_quality_flags("text")
     rflags = T.gopher_repetition_flags("text")
     noisy = F.concat(
@@ -973,7 +994,7 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture: ~1,000 shared spans at sf0.01."""
     from judyst_web_crawler_spark.operators.dedup_fuzzy import duplicate_ngram_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     out = duplicate_ngram_spans(docs, n=8, min_docs=2)
     return out.select(
         "span",
@@ -1000,10 +1021,25 @@ def _exact_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < EXACT_NEAR_DUP_CAP)
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    # norms are per-VECTOR, so hoist them below the join: each side
+    # computes sqrt(dot(v,v)) once per row (same expression, same
+    # doubles) instead of once per PAIR — the nested-loop join then
+    # evaluates ONE array HOF per pair (the dot product), not three.
+    # CollapseProject can't merge a projection through a join, so the
+    # hoist survives planning. The stream side is _fanout so the
+    # cap²-pair loop runs cluster-wide, not on one input split.
+    a = _fanout(spark, emb).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        SIM.l2_norm("embedding").alias("_norm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        SIM.l2_norm("embedding").alias("_norm_b"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    denom = SIM.l2_norm("vec_a") * SIM.l2_norm("vec_b")
+    denom = F.col("_norm_a") * F.col("_norm_b")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(SIM.dot_product("vec_a", "vec_b") / denom)
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= 0.5
@@ -1023,7 +1059,7 @@ def q_dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     without shipping document bodies."""
     from judyst_web_crawler_spark.operators.dedup_fuzzy import remove_duplicate_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     out = remove_duplicate_spans(docs, n=8, min_docs=2)
     return out.select(
         "doc_id",
@@ -1035,13 +1071,13 @@ def q_dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (non-SQL; rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     return DF.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 near-dup pairs (non-SQL; rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     return DF.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -1443,7 +1479,7 @@ def q_minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_query_index,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     tmp = tempfile.mkdtemp(prefix="jwcs-mhidx-")
     try:
         minhash_index_write(docs.filter(F.pmod("doc_id", 5) != 0), tmp)

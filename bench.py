@@ -171,10 +171,16 @@ def bench_frontier(spark, sf: float, n_salts: int = 4) -> dict:
 
 def bench_incremental_dedup(spark, sf: float) -> dict:
     """The per-wave incremental dedup loop a 100 TB crawl actually runs
-    (VERDICT r4 next-steps #5): a 2-wave engine crawl with the MinHash
-    band index committed per wave, then ``near_dups_of_wave(<last>)``
-    — new-wave docs vs everything crawled so far, zero
-    re-fingerprinting — timed separately from the crawl itself.
+    (VERDICT r4 next-steps #5): a multi-wave engine crawl with the
+    MinHash band index committed per wave, then
+    ``near_dups_of_wave(<last>)`` — new-wave docs vs everything crawled
+    so far, zero re-fingerprinting — timed separately from the crawl.
+
+    ``budget`` here is the PER-HOST politeness cap (politeness.py), not
+    a global one: n/10 per bench_frontier's convention, so the skewed
+    giant host (~21% of urls) genuinely takes 3 waves to drain and the
+    timed query runs on a true incremental wave — a small new-docs side
+    probing an index that already holds the rest of the corpus.
 
     5% of pages get a same-body mirror url (distinct url, identical
     html — the mirror-site scenario), so the query must surface real
@@ -213,15 +219,20 @@ def bench_incremental_dedup(spark, sf: float) -> dict:
         )
         t0 = time.monotonic()
         eng.bootstrap(seeds)
-        stats = eng.run(pages, budget=(n_seeds + 1) // 2, n_salts=4, max_waves=4)
+        budget = int(
+            os.environ.get("SPARK_BENCH_DEDUP_BUDGET", max(1, n_seeds // 10))
+        )
+        stats = eng.run(pages, budget=budget, n_salts=4, max_waves=8)
         crawl_s = time.monotonic() - t0
         last_wave = stats[-1]["wave"]
+        wave_docs = stats[-1].get("scheduled")
         t1 = time.monotonic()
         n_pairs = eng.near_dups_of_wave(last_wave, threshold=0.7).count()
         dedup_s = time.monotonic() - t1
         return {
             "n_urls": n_seeds,
             "waves": len(stats),
+            "last_wave_docs": wave_docs,
             "crawl_s": round(crawl_s, 2),
             "near_dups_wave_s": round(dedup_s, 2),
             "near_dup_pairs": n_pairs,

@@ -302,7 +302,8 @@ def gopher_repetition_flags(text: Column | str) -> dict[str, Column]:
             (best["best_cnt"] * F.length(best["best_gram"])) / norm_len.cast("double"),
         ).otherwise(F.lit(0.0))
 
-    for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16)):
+    topgram_thresholds = ((2, 0.20), (3, 0.18), (4, 0.16))
+    for n, _ in topgram_thresholds:
         out[f"top_{n}gram_char_frac"] = _top_gram_frac(n)
 
     # thresholds compare the ROUNDED ratios (the emitted columns), so
@@ -315,15 +316,15 @@ def gopher_repetition_flags(text: Column | str) -> dict[str, Column]:
     rounded = {
         k: F.floor(v * 1000000.0 + F.lit(0.5)) / 1000000.0 for k, v in out.items()
     }
-    rounded["repetition_pass"] = (
+    rep_pass = (
         (rounded["dup_line_frac"] <= 0.30)
         & (rounded["dup_para_frac"] <= 0.30)
         & (rounded["dup_line_char_frac"] <= 0.20)
         & (rounded["dup_para_char_frac"] <= 0.20)
-        & (rounded["top_2gram_char_frac"] <= 0.20)
-        & (rounded["top_3gram_char_frac"] <= 0.18)
-        & (rounded["top_4gram_char_frac"] <= 0.16)
     )
+    for n, thr in topgram_thresholds:
+        rep_pass = rep_pass & (rounded[f"top_{n}gram_char_frac"] <= thr)
+    rounded["repetition_pass"] = rep_pass
     return rounded
 
 

@@ -305,6 +305,19 @@ def remove_duplicate_spans(
     """
     if rounds < 1:
         raise ValueError(f"remove_duplicate_spans: rounds must be >= 1, got {rounds}")
+    # same up-front guard attach_pair_sides grew for the same reason: a
+    # clear error beats a downstream duplicate/ambiguous-column analysis
+    # failure (id_col='_idx' or text_col='n_tokens' would otherwise blow
+    # up deep inside the rebuild joins)
+    reserved = {"_pos", "_idx", "_i", "_tok", "_n_kept", "h1", "h2",
+                "n_tokens", "n_tokens_removed"}
+    bad = {id_col, text_col} & reserved
+    if bad or id_col == text_col:
+        raise ValueError(
+            f"remove_duplicate_spans: id_col/text_col must be distinct and "
+            f"avoid the reserved names {sorted(reserved)}; got "
+            f"id_col={id_col!r}, text_col={text_col!r}"
+        )
     toks_of = lambda c: F.filter(  # noqa: E731
         F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda x: x != F.lit("")
     )
